@@ -1,0 +1,136 @@
+"""Robust audio feature extraction + content-defined shingling (stages S2–S3).
+
+Graft of CDStore's variable-size CDC chunker (SURVEY.md §2.A op 3 — Rabin
+rolling hash with min/avg/max bounds) onto decoded audio:
+
+1.  |PCM| → moving-average envelope (noise-robust), decimated to ~1 kHz so
+    features are sample-rate independent,
+2.  peak-normalized (gain-invariant) and sqrt-compand-quantized to a small
+    level alphabet, median-filtered to kill isolated noise flips,
+3.  run-length encoded into *events* (level, duration) — shift-invariant, so
+    trim/pad perturbations realign,
+4.  a polynomial rolling hash over the event symbols picks content-defined
+    segment boundaries (window/mask/magic/min/max from PipelineConfig — the
+    direct analog of the reference's chunker parameters),
+5.  each segment's shift-invariant content hash is a *shingle*; the shingle
+    set feeds MinHash/SimHash (sketch.py).
+
+Everything is vectorized NumPy per clip; callers batch clips per Arrow batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import PipelineConfig
+from . import hashing as H
+
+U64 = np.uint64
+
+
+def smooth_envelope(x: np.ndarray, sr_hz: int, cfg: PipelineConfig) -> np.ndarray:
+    """Moving-average of |x| over ~env_smooth_ms, decimated to ~env_rate_hz."""
+    n = x.shape[0]
+    w = max(4, (sr_hz * cfg.env_smooth_ms) // 1000)
+    if n < w + 2:
+        return np.empty(0, dtype=np.float32)
+    c = np.concatenate(([0.0], np.cumsum(np.abs(x), dtype=np.float64)))
+    env = (c[w:] - c[:-w]) * (1.0 / w)          # length n - w + 1
+    step = max(1, sr_hz // cfg.env_rate_hz)
+    return env[::step].astype(np.float32)
+
+
+def _median_filter(q: np.ndarray, width: int) -> np.ndarray:
+    if width <= 1 or q.shape[0] <= width:
+        return q
+    pad = width // 2
+    qp = np.pad(q, pad, mode="edge")
+    win = np.lib.stride_tricks.sliding_window_view(qp, width)
+    return np.median(win, axis=1).astype(q.dtype)
+
+
+def audio_events(x: np.ndarray, sr_hz: int, cfg: PipelineConfig
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """float PCM → (event symbols uint16[], event durations in ms float64[]).
+
+    Silence clips (envelope peak < silence_floor) return empty arrays →
+    empty shingle set → sentinel MinHash signature → they all collide in
+    every LSH band, forming the designed skew block (FIXTURES.md §2).
+    """
+    env = smooth_envelope(x, sr_hz, cfg)
+    if env.shape[0] == 0:
+        return np.empty(0, np.uint16), np.empty(0, np.float64)
+    peak = float(env.max())
+    if peak < cfg.silence_floor:
+        return np.empty(0, np.uint16), np.empty(0, np.float64)
+    q = np.sqrt(env * (1.0 / peak))
+    q = np.minimum((q * cfg.env_levels).astype(np.int16), cfg.env_levels - 1)
+    q = _median_filter(q, cfg.env_median)
+
+    # run-length encode
+    change = np.flatnonzero(np.diff(q)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [q.shape[0]]))
+    levels = q[starts].astype(np.uint16)
+
+    step = max(1, sr_hz // cfg.env_rate_hz)
+    ms_per_env = 1000.0 * step / sr_hz
+    dur_ms = (ends - starts).astype(np.float64) * ms_per_env
+
+    log_base = np.log(cfg.dur_log_base)
+    dur_bucket = np.floor(np.log(np.maximum(dur_ms, 1.0)) / log_base).astype(np.uint16)
+    symbols = (levels << np.uint16(5)) | np.minimum(dur_bucket, np.uint16(31))
+    return symbols, dur_ms
+
+
+def _enforce_bounds(cands: np.ndarray, n: int, lo: int, hi: int) -> np.ndarray:
+    """Greedy min/max clamping of CDC boundary candidates (same as the
+    reference chunker's min/avg/max semantics). Returns cut positions
+    strictly inside (0, n); segment k spans [cuts[k-1], cuts[k])."""
+    cuts = []
+    last = 0
+    i = 0
+    m = cands.shape[0]
+    while last + lo < n:
+        # next candidate at or beyond last+lo
+        while i < m and cands[i] < last + lo:
+            i += 1
+        if i < m and cands[i] <= last + hi:
+            cut = int(cands[i])
+            i += 1
+        else:
+            cut = min(last + hi, n)
+        if cut >= n:
+            break
+        cuts.append(cut)
+        last = cut
+    return np.asarray(cuts, dtype=np.int64)
+
+
+def cdc_boundaries(symbols: np.ndarray, cfg: PipelineConfig) -> np.ndarray:
+    """Content-defined segment boundaries over the event-symbol stream.
+
+    Returns offsets [0, c1, ..., n]; boundary after position i when the
+    rolling hash of the trailing cdc_window symbols satisfies
+    (h & cdc_mask) == cdc_magic, clamped to [cdc_min, cdc_max].
+    """
+    n = symbols.shape[0]
+    if n == 0:
+        return np.zeros(1, dtype=np.int64)
+    wh = H.window_hashes(H.mix64(symbols.astype(U64)), cfg.cdc_window)
+    mask, magic = U64(cfg.cdc_mask), U64(cfg.cdc_magic)
+    # window ending at position i (inclusive) starts at i - W + 1
+    hits = np.flatnonzero((wh & mask) == magic) + cfg.cdc_window  # cut AFTER window
+    cuts = _enforce_bounds(hits, n, cfg.cdc_min, cfg.cdc_max)
+    return np.concatenate(([0], cuts, [n]))
+
+
+def audio_shingles(symbols: np.ndarray, cfg: PipelineConfig) -> np.ndarray:
+    """Shift-invariant content hashes of CDC segments → the shingle set."""
+    if symbols.shape[0] == 0:
+        return np.empty(0, dtype=U64)
+    offs = cdc_boundaries(symbols, cfg)
+    mixed = H.mix64(symbols.astype(U64))
+    prefix = H.poly_prefix(mixed)
+    inv = H.poly_inv_powers(symbols.shape[0] + 1)
+    return H.span_hashes(prefix, inv, offs[:-1], offs[1:])
