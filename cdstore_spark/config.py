@@ -52,6 +52,11 @@ class PipelineConfig:
 
     # --- transcript shingling ------------------------------------------------
     text_ngram: int = 3       # word n-grams
+    # transcripts shorter than this many tokens additionally emit 1- and
+    # 2-gram shingles: a single token edit on a short transcript destroys
+    # most 3-grams (Jaccard collapses below the LSH catch curve), which is
+    # exactly how short `combo` duplicates were lost in tuning runs
+    text_short_tokens: int = 12
 
     # --- S4/S5 MinHash / SimHash / LSH ---------------------------------------
     minhash_k: int = 128      # permutations (64-bit multiply-shift)
@@ -67,10 +72,21 @@ class PipelineConfig:
     # clip_id order, overflow dropped WITH logged counts (never silent)
     bucket_cap: int = 256
 
+    # SimHash corroboration gate: a candidate pair only reaches the expensive
+    # suffix-array verify on a channel if it collided in that channel's LSH
+    # bands with real (non-sentinel) signatures, or its channel SimHash
+    # Hamming distance is within this many bits. This is what keeps the
+    # designed near-silence skew bucket from flooding the verify stage.
+    simhash_gate_bits: int = 12
+
     # --- S7 suffix-array span verification ------------------------------------
     verify_min_audio_ms: int = 200   # min common audio span (milliseconds)
     verify_min_events: int = 6       # min common event run (tokens)
     verify_min_chars: int = 12       # min common transcript substring (chars)
+    # carrier consistency over the matched run (median |Δ log2 ZCR|).
+    # Measured on the correctness tier: true perturbation pairs sit at 0.0
+    # (p95), chance envelope coincidences at >= 0.018 (p5) — 0.015 separates.
+    verify_zcr_log2_tol: float = 0.015
 
 
 #: the frozen default used by oracle, engine, tests and bench alike

@@ -1,0 +1,141 @@
+"""Whole-batch clip featurization — the shared S2–S5 kernel.
+
+One function turns a batch of raw clip rows into everything the pipeline
+needs downstream: decoded-PCM stats, event streams, CDC shingles, MinHash
+signatures, SimHash sketches and LSH band hashes for BOTH channels (audio,
+transcript). The single-node oracle calls it on the whole table; the Spark
+engine calls it per Arrow batch inside mapInPandas — same bytes in, same
+numbers out, which is what makes the oracle the golden truth.
+
+Per-clip inner loops here iterate over *clips in a batch* with fully
+vectorized NumPy per iteration (thousands of samples each) — there is no
+per-row Python in the Spark sense (no row-at-a-time UDFs) anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from ..config import PipelineConfig
+from . import codec as K_codec
+from . import features as K_feat
+from . import sketch as K_sketch
+from . import text as K_text
+
+U64 = np.uint64
+
+
+def _csr(arrays: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    offsets = np.zeros(len(arrays) + 1, dtype=np.int64)
+    np.cumsum([a.shape[0] for a in arrays], out=offsets[1:])
+    values = np.concatenate(arrays) if arrays else np.empty(0, dtype=U64)
+    return values.astype(U64, copy=False), offsets
+
+
+def featurize_batch(pdf: pd.DataFrame, cfg: PipelineConfig,
+                    with_pcm_stats: bool = False) -> pd.DataFrame:
+    """Input columns: clip_id, bytes, sr_hz, dur_ms, codec, transcript.
+
+    Output columns (one row per clip):
+        clip_id, n_events, events (list<uint16 as int32>), event_ms
+        (list<float>), sig_audio / sig_text (list<uint64 as int64>, len k),
+        simhash_audio / simhash_text (int64), bands_audio / bands_text
+        (list<int64>, len lsh_bands), n_shingles_audio, n_shingles_text
+        [+ n_samples, rms, pcm_sha256 when with_pcm_stats]
+    """
+    n = len(pdf)
+    ev_syms: list[np.ndarray] = []
+    ev_ms: list[np.ndarray] = []
+    ev_zcr: list[np.ndarray] = []
+    audio_sh: list[np.ndarray] = []
+    text_sh: list[np.ndarray] = []
+    n_samples = np.zeros(n, dtype=np.int64)
+    rms = np.zeros(n, dtype=np.float64)
+    sha: list[str] = []
+
+    codecs = pdf["codec"].to_numpy()
+    srs = pdf["sr_hz"].to_numpy()
+    texts = pdf["transcript"].to_numpy()
+    for i, raw in enumerate(pdf["bytes"].to_numpy()):
+        x = K_codec.decode_float(raw, str(codecs[i]))
+        syms, dms, zcrs = K_feat.audio_events(x, int(srs[i]), cfg)
+        ev_syms.append(syms)
+        ev_ms.append(dms)
+        ev_zcr.append(zcrs)
+        audio_sh.append(K_feat.audio_shingles(syms, cfg))
+        text_sh.append(K_text.ngram_shingles(str(texts[i]), cfg.text_ngram, cfg.text_short_tokens))
+        if with_pcm_stats:
+            n_samples[i] = x.shape[0]
+            rms[i] = float(np.sqrt(np.mean(x.astype(np.float64) ** 2))) if x.shape[0] else 0.0
+            sha.append(hashlib.sha256(np.ascontiguousarray(x).tobytes()).hexdigest())
+
+    a_vals, a_offs = _csr(audio_sh)
+    t_vals, t_offs = _csr(text_sh)
+    sig_a = K_sketch.minhash_batch(a_vals, a_offs, cfg)
+    sig_t = K_sketch.minhash_batch(t_vals, t_offs, cfg)
+    sim_a = K_sketch.simhash_batch(a_vals, a_offs, cfg)
+    sim_t = K_sketch.simhash_batch(t_vals, t_offs, cfg)
+    bands_a = K_sketch.band_hashes(sig_a, cfg)
+    bands_t = K_sketch.band_hashes(sig_t, cfg)
+
+    out = pd.DataFrame({
+        "clip_id": pdf["clip_id"].astype(str).to_numpy(),
+        "n_events": np.asarray([s.shape[0] for s in ev_syms], dtype=np.int32),
+        "events": [s.astype(np.int32) for s in ev_syms],
+        "event_ms": [d.astype(np.float32) for d in ev_ms],
+        "event_zcr": [z.astype(np.float32) for z in ev_zcr],
+        "n_shingles_audio": (a_offs[1:] - a_offs[:-1]).astype(np.int32),
+        "n_shingles_text": (t_offs[1:] - t_offs[:-1]).astype(np.int32),
+        "sig_audio": [row.astype(np.int64) for row in sig_a.view(np.int64)],
+        "sig_text": [row.astype(np.int64) for row in sig_t.view(np.int64)],
+        "simhash_audio": sim_a.view(np.int64),
+        "simhash_text": sim_t.view(np.int64),
+        "bands_audio": [row for row in bands_a.view(np.int64)],
+        "bands_text": [row for row in bands_t.view(np.int64)],
+    })
+    if with_pcm_stats:
+        out["n_samples"] = n_samples
+        out["rms"] = rms
+        out["pcm_sha256"] = sha
+    return out
+
+
+def verify_pair(ev_a: np.ndarray, ms_a: np.ndarray, zcr_a: np.ndarray,
+                ev_b: np.ndarray, zcr_b: np.ndarray,
+                txt_a: str, txt_b: str, cfg: PipelineConfig,
+                try_audio: bool, try_text: bool) -> tuple[bool, bool, float, int]:
+    """Suffix-array span confirmation for one candidate pair.
+
+    Audio confirmation requires (a) a common event run of >= verify_min_events
+    covering >= verify_min_audio_ms, AND (b) carrier consistency: the median
+    |log2 ZCR| gap over the matched run <= verify_zcr_log2_tol — this rejects
+    unrelated clips whose quantized envelopes coincide by chance (periodic
+    amplitude modulation) while keeping noise/gain/codec perturbations, whose
+    carriers are unchanged.
+
+    Returns (audio_ok, text_ok, audio_span_ms, text_span_chars).
+    """
+    from . import suffix as K_suffix
+
+    audio_ok, span_ms = False, 0.0
+    if try_audio and ev_a.shape[0] >= cfg.verify_min_events \
+            and ev_b.shape[0] >= cfg.verify_min_events:
+        run, pa, pb = K_suffix.longest_common_run(ev_a.astype(np.int64),
+                                                  ev_b.astype(np.int64))
+        if run >= cfg.verify_min_events:
+            span_ms = float(ms_a[pa: pa + run].sum())
+            zgap = float(np.median(np.abs(zcr_a[pa: pa + run].astype(np.float64)
+                                          - zcr_b[pb: pb + run].astype(np.float64))))
+            audio_ok = (span_ms >= cfg.verify_min_audio_ms
+                        and zgap <= cfg.verify_zcr_log2_tol)
+    text_ok, nchars = False, 0
+    if try_text:
+        ca = K_text.char_codes(txt_a)
+        cb = K_text.char_codes(txt_b)
+        run, _, _ = K_suffix.longest_common_run(ca, cb)
+        nchars = int(run)
+        text_ok = nchars >= cfg.verify_min_chars
+    return audio_ok, text_ok, span_ms, nchars

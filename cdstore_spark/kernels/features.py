@@ -50,19 +50,26 @@ def _median_filter(q: np.ndarray, width: int) -> np.ndarray:
 
 
 def audio_events(x: np.ndarray, sr_hz: int, cfg: PipelineConfig
-                 ) -> tuple[np.ndarray, np.ndarray]:
-    """float PCM → (event symbols uint16[], event durations in ms float64[]).
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """float PCM → (event symbols uint16[], durations ms float64[],
+    per-event log2 zero-crossing-rate float32[]).
+
+    The ZCR track is NOT part of the shingle symbol (keeps MinHash recall
+    under additive noise); it is used by the verify stage as a carrier-
+    frequency consistency check over the matched event run, rejecting
+    unrelated clips whose quantized *envelopes* coincide by chance.
 
     Silence clips (envelope peak < silence_floor) return empty arrays →
     empty shingle set → sentinel MinHash signature → they all collide in
     every LSH band, forming the designed skew block (FIXTURES.md §2).
     """
+    empty = (np.empty(0, np.uint16), np.empty(0, np.float64), np.empty(0, np.float32))
     env = smooth_envelope(x, sr_hz, cfg)
     if env.shape[0] == 0:
-        return np.empty(0, np.uint16), np.empty(0, np.float64)
+        return empty
     peak = float(env.max())
     if peak < cfg.silence_floor:
-        return np.empty(0, np.uint16), np.empty(0, np.float64)
+        return empty
     q = np.sqrt(env * (1.0 / peak))
     q = np.minimum((q * cfg.env_levels).astype(np.int16), cfg.env_levels - 1)
     q = _median_filter(q, cfg.env_median)
@@ -80,7 +87,16 @@ def audio_events(x: np.ndarray, sr_hz: int, cfg: PipelineConfig
     log_base = np.log(cfg.dur_log_base)
     dur_bucket = np.floor(np.log(np.maximum(dur_ms, 1.0)) / log_base).astype(np.uint16)
     symbols = (levels << np.uint16(5)) | np.minimum(dur_bucket, np.uint16(31))
-    return symbols, dur_ms
+
+    # per-event zero-crossing rate (Hz, log2) over the raw-sample span
+    sign = np.signbit(x)
+    zc_prefix = np.concatenate(([0], np.cumsum(sign[1:] != sign[:-1])))
+    lo = np.minimum(starts * step, x.shape[0] - 1)
+    hi = np.minimum(ends * step, x.shape[0] - 1)
+    crossings = (zc_prefix[hi] - zc_prefix[lo]).astype(np.float64)
+    secs = np.maximum(hi - lo, 1).astype(np.float64) / sr_hz
+    zcr_log2 = np.log2(np.maximum(crossings / secs, 1.0)).astype(np.float32)
+    return symbols, dur_ms, zcr_log2
 
 
 def _enforce_bounds(cands: np.ndarray, n: int, lo: int, hi: int) -> np.ndarray:

@@ -39,22 +39,36 @@ def token_hashes(text: str) -> np.ndarray:
     return np.fromiter((token_hash(t) for t in toks), dtype=U64, count=len(toks))
 
 
-def ngram_shingles(text: str, n: int = 3) -> np.ndarray:
-    """Word n-gram shingle hashes (uint64). Shorter texts fall back to the
-    whole-text hash so no clip has an empty text shingle set."""
+def _grams(th: np.ndarray, n: int) -> np.ndarray:
+    m = th.shape[0]
+    if m < n:
+        return np.empty(0, dtype=U64)
+    acc = H.mix2(th[: m - n + 1], np.full(m - n + 1, n, dtype=U64))
+    for j in range(1, n):
+        acc = H.mix2(acc, th[j: m - n + 1 + j])
+    return acc
+
+
+def ngram_shingles(text: str, n: int = 3, short_tokens: int = 12) -> np.ndarray:
+    """Word n-gram shingle hashes (uint64).
+
+    Transcripts with < short_tokens tokens additionally emit 1- and 2-gram
+    shingles (n-gram order is mixed into each hash so orders don't collide):
+    one token edit on a short transcript destroys most 3-grams and drops
+    Jaccard below the LSH catch curve — the multi-resolution set keeps
+    short near-duplicates above it. Texts shorter than n fall back to the
+    longest gram available so no clip has an empty text shingle set.
+    """
     th = token_hashes(text)
     m = th.shape[0]
     if m == 0:
         return np.empty(0, dtype=U64)
     if m < n:
-        acc = th[0]
-        for i in range(1, m):
-            acc = H.mix2(np.asarray([acc], U64), np.asarray([th[i]], U64))[0]
-        return np.asarray([acc], dtype=U64)
-    acc = th[: m - n + 1].copy()
-    for j in range(1, n):
-        acc = H.mix2(acc, th[j: m - n + 1 + j])
-    return acc
+        return np.unique(np.concatenate([_grams(th, k) for k in range(1, m + 1)]))
+    out = _grams(th, n)
+    if m < short_tokens:
+        out = np.concatenate([_grams(th, 1), _grams(th, 2), out])
+    return np.unique(out)
 
 
 def char_codes(text: str) -> np.ndarray:
