@@ -68,8 +68,12 @@ class PipelineConfig:
     # --- S6 candidate join / skew handling -----------------------------------
     # buckets larger than this are triangle-split into blocks for balance
     bucket_soft: int = 32
-    # hard cap per (band, hash) bucket; members kept deterministically by
-    # clip_id order, overflow dropped WITH logged counts (never silent)
+    # skew split: buckets larger than this are partitioned into sub-buckets
+    # of <= bucket_cap members (deterministic clip_id order); pairs are
+    # enumerated within each sub-bucket plus a representative chain (first
+    # member of sub-bucket 0 paired with the first member of every other
+    # sub-bucket), so pair count grows LINEARLY in bucket size instead of
+    # quadratically while the duplicate component stays connected
     bucket_cap: int = 256
 
     # SimHash corroboration gate: a candidate pair only reaches the expensive

@@ -16,7 +16,15 @@ clip B from base A. Audio-perturbation kinds keep semantics dup; the added
 channel to carry detection on its own, and `combo` stacks trim+noise+edit.
 `hard_negative` pairs must NOT be detected (precision guard). ~10% of
 planted groups are chains A→B→C to exercise union-find transitivity.
-A 3% near-silence block forms the LSH skew cluster.
+
+Two skew blocks exercise the explicit skew-handling path:
+  * 3% near-silence clips — empty shingle sets, excluded from candidate
+    generation entirely (a real engine must not enumerate pairs of
+    contentless rows);
+  * 2% "template" clips — near-copies (40 dB noise, tiny trim, <=1 token
+    edit) of ONE base clip, the jingle-repeated-millions-of-times shape of
+    real corpora: they collide in every LSH band, stressing the sub-bucket
+    split + representative chain, and must come out as ONE cluster.
 """
 
 from __future__ import annotations
@@ -172,24 +180,44 @@ def build_spec(n_clips: int, n_pairs: int, seed: int = MASTER_SEED) -> pd.DataFr
         return row
 
     n_silence = max(0, int(round(0.03 * n_clips)))
+    n_template = max(0, int(round(0.02 * n_clips)))
+    n_reserved = n_silence + n_template
     i = 0
     # planted groups
     for _ in range(n_pairs):
-        if i + 2 > n_clips - n_silence:
+        if i + 2 > n_clips - n_reserved:
             break
         b = base_row(i); i += 1
         kind = kinds[int(rng.choice(len(kinds), p=kind_p))]
         d = derive(i, b, kind); i += 1
         rows += [b, d]
         # ~10% chains: C derived from B (only for dup kinds)
-        if kind in DUP_KINDS and rng.random() < 0.10 and i < n_clips - n_silence:
+        if kind in DUP_KINDS and rng.random() < 0.10 and i < n_clips - n_reserved:
             kind2 = DUP_KINDS[int(rng.integers(0, len(DUP_KINDS)))]
             rows.append(derive(i, d, kind2)); i += 1
-    # silence skew block
+    # silence skew block (empty shingle sets — no candidates by design)
     for _ in range(n_silence):
         if i >= n_clips:
             break
         rows.append(base_row(i, is_silence=True)); i += 1
+    # template skew block: near-copies of one base → one hot LSH bucket
+    tmpl_rng = np.random.default_rng((seed, 8001))
+    tmpl_transcript = _transcript(tmpl_rng)
+    prev_tmpl = None
+    for _ in range(n_template):
+        if i >= n_clips:
+            break
+        r = np.random.default_rng((seed, 8002, i))
+        row = base_row(i)
+        row.update(kind="template", wave_seed=999_999_999, sr_hz=16000,
+                   base_dur_ms=1500, noise_snr_db=40.0,
+                   trim_head=float(r.uniform(0.0, 0.01)),
+                   transcript=_edit_transcript(tmpl_transcript, r,
+                                               int(r.integers(0, 2))),
+                   pair_base=prev_tmpl or "")
+        rows.append(row)
+        prev_tmpl = row["clip_id"]
+        i += 1
     # unrelated singletons
     while i < n_clips:
         rows.append(base_row(i)); i += 1

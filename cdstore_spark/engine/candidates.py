@@ -1,0 +1,134 @@
+"""S5–S6: LSH band explode → salted repartition-then-hash-join with explicit
+skew-key splitting → canonical candidate pairs.
+
+This is the shuffle heart of the pipeline — the graft analog of CDStore's
+fingerprint-batch → server-index lookup (SURVEY.md §2.A ops 9–10), where the
+network round-trip becomes a shuffle on the band key.
+
+Skew is handled explicitly, as the north rule demands, in two layers:
+
+1. **Sub-bucket split + representative chain** (bucket_cap): a (channel,
+   band, hash) bucket of m members is partitioned — in deterministic
+   clip_id order — into sub-buckets of <= bucket_cap; pairs are enumerated
+   within each sub-bucket, and the first member of sub-bucket 0 is paired
+   with the first member of every other sub-bucket. Pair count is
+   O(m * cap) — LINEAR in bucket size instead of quadratic — while a true
+   duplicate block (e.g. a template/jingle repeated millions of times)
+   still forms ONE connected component after verify + union-find. At
+   10^12-row scale a hot bucket therefore cannot produce an O(m²) shuffle
+   explosion, and nothing is silently dropped: skew_stats reports bucket
+   maxima and split counts.
+2. **Triangle block split** (bucket_soft): each (sub-)bucket above
+   `bucket_soft` members is further split into g = ceil(size/soft) blocks;
+   each (i <= j) block pair becomes its own join key, so one hot bucket
+   fans out over g(g+1)/2 shuffle partitions instead of landing on one
+   reducer. Every pair is still enumerated exactly once (cross pairs
+   appear only under key (i, j) with i = block(a) <= j = block(b); the
+   a < b filter dedups within-block keys). This is the "salted
+   repartition-then-hash-join" of the north rule — the salt is the
+   (sub-bucket, block-pair) id, and the join shuffle hashes on
+   (channel, band_idx, band_hash, sub, i, j).
+
+Both layers use the same deterministic member order as the single-node
+oracle (sorted clip_id), so engine and oracle enumerate identical candidate
+sets by construction (oracle.py::candidate_pairs_from_feats mirrors this
+logic in plain Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, PipelineConfig
+
+
+def explode_bands(feats: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Feature rows → (channel, band_idx, band_hash, clip_id) band rows.
+
+    Clips with empty shingle sets on a channel emit no rows for it —
+    empty sets never generate candidates (matches the oracle).
+    """
+    a = (feats.where(F.col("n_shingles_audio") > 0)
+         .select(F.lit("audio").alias("channel"),
+                 F.posexplode("bands_audio").alias("band_idx", "band_hash"),
+                 "clip_id"))
+    t = (feats.where(F.col("n_shingles_text") > 0)
+         .select(F.lit("text").alias("channel"),
+                 F.posexplode("bands_text").alias("band_idx", "band_hash"),
+                 "clip_id"))
+    return a.unionByName(t)
+
+
+def candidate_pairs(feats: DataFrame, cfg: PipelineConfig = DEFAULT
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Returns (pairs, skew_stats).
+
+    pairs: a, b (a < b), from_audio, from_text — deduped across bands.
+    skew_stats: per-channel bucket-size distribution + dropped-row counts
+    (the explicit, logged record of what the cap removed).
+    """
+    bands = explode_bands(feats, cfg)
+    key = ["channel", "band_idx", "band_hash"]
+    w_rank = Window.partitionBy(*key).orderBy("clip_id")
+    w_all = Window.partitionBy(*key)
+    ranked = (bands
+              .withColumn("rn", F.row_number().over(w_rank))
+              .withColumn("cnt", F.count(F.lit(1)).over(w_all)))
+
+    skew_stats = (ranked.where(F.col("rn") == 1)
+                  .groupBy("channel")
+                  .agg(F.count(F.lit(1)).alias("n_buckets"),
+                       F.max("cnt").alias("max_bucket"),
+                       F.sum(F.when(F.col("cnt") > cfg.bucket_cap,
+                                    F.ceil(F.col("cnt") / cfg.bucket_cap) - 1)
+                             .otherwise(F.lit(0))).alias("subbucket_splits"),
+                       F.sum(F.when(F.col("cnt") > cfg.bucket_soft, 1)
+                             .otherwise(0)).alias("buckets_block_split")))
+
+    # layer 1: sub-bucket split (linear skew bound) — sub index + size
+    kept = (ranked
+            .where(F.col("cnt") > 1)
+            .withColumn("sub", ((F.col("rn") - 1)
+                                / F.lit(cfg.bucket_cap)).cast("int"))
+            .withColumn("sub_rn", ((F.col("rn") - 1) % F.lit(cfg.bucket_cap)))
+            .withColumn("sub_size",
+                        F.least(F.col("cnt") - F.col("sub") * cfg.bucket_cap,
+                                F.lit(cfg.bucket_cap))))
+
+    # layer 2: triangle block split within each sub-bucket
+    blocked = (kept
+               .withColumn("g", F.ceil(F.col("sub_size")
+                                       / F.lit(cfg.bucket_soft)).cast("int"))
+               .withColumn("blk", (F.col("sub_rn") % F.col("g")).cast("int"))
+               .select(*key, "clip_id", "sub", "g", "blk"))
+    left = (blocked.withColumn("j", F.explode(F.sequence(F.col("blk"),
+                                                         F.col("g") - 1)))
+            .select(*key, "sub", F.col("blk").alias("i"), "j",
+                    F.col("clip_id").alias("a")))
+    right = (blocked.withColumn("i", F.explode(F.sequence(F.lit(0),
+                                                          F.col("blk"))))
+             .select(*key, "sub", "i", F.col("blk").alias("j"),
+                     F.col("clip_id").alias("b")))
+    join_key = key + ["sub", "i", "j"]
+    raw_pairs = (left.join(right, on=join_key, how="inner")
+                 .where(F.col("a") < F.col("b"))
+                 .select("channel", "a", "b"))
+
+    # representative chain: first member of sub 0 ↔ first member of sub > 0
+    rep0 = (kept.where(F.col("rn") == 1)
+            .select(*key, F.col("clip_id").alias("ra")))
+    reps = (kept.where((F.col("sub_rn") == 0) & (F.col("sub") > 0))
+            .select(*key, F.col("clip_id").alias("rb")))
+    chain = (rep0.join(reps, on=key, how="inner")
+             .select("channel",
+                     F.least("ra", "rb").alias("a"),
+                     F.greatest("ra", "rb").alias("b")))
+
+    pairs = (raw_pairs.unionByName(chain)
+             .groupBy("a", "b")
+             .agg(F.max(F.when(F.col("channel") == "audio", True)
+                        .otherwise(False)).alias("from_audio"),
+                  F.max(F.when(F.col("channel") == "text", True)
+                        .otherwise(False)).alias("from_text")))
+    return pairs, skew_stats

@@ -1,0 +1,81 @@
+"""S8: connected components via alternating large-star / small-star joins.
+
+Distributed union-find as DataFrame algebra (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14 — see PAPERS.md): converges in
+O(log n) rounds on any graph, each round two shuffles, no driver-side state
+— which is why it survives 10^12-node scale where a collect()-based
+union-find cannot. Each iteration localCheckpoints to truncate the growing
+lineage (SURVEY.md §7.4 decision 5).
+
+large_star: every node points its LARGER neighbors at the minimum of its
+neighborhood (incl. itself). small_star: every node points its smaller-or-
+equal neighbors at the minimum. Fixpoint = forest of depth-1 stars rooted
+at component minima; cluster_id = min(clip_id) in component falls out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    return (edges.select(F.col("u"), F.col("v"))
+            .unionByName(edges.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v"))))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    nbrs = _sym(edges)
+    mins = (nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m")))
+    return (nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient edges toward the smaller endpoint: keep (u, v) with v < u
+    nbrs = _sym(edges).where(F.col("v") < F.col("u"))
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+    joined = nbrs.join(mins, "u")
+    # smaller neighbors → min, and u itself → min
+    a = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    b = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (a.unionByName(b)
+            .where(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def connected_components(pairs: DataFrame, universe: DataFrame,
+                         max_iter: int = 24) -> DataFrame:
+    """pairs(a, b) edges + universe(clip_id) → (clip_id, cluster_id).
+
+    cluster_id is the lexicographic minimum clip_id of the component —
+    identical to the oracle union-find convention. Singleton clips map to
+    themselves.
+    """
+    edges = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .distinct()
+             .localCheckpoint(eager=True))   # cut upstream chain once
+    prev_sig = -1
+    for _ in range(max_iter):
+        edges = _large_star(edges)
+        edges = _small_star(edges).localCheckpoint(eager=True)
+        # convergence: edge multiset stable → its (count, hash-sum) stable
+        sig_row = edges.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
+        sig = (sig_row["c"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    labels = edges.select(F.col("u").alias("clip_id"),
+                          F.col("v").alias("cluster_id"))
+    return (universe.select("clip_id")
+            .join(labels, "clip_id", "left")
+            .select("clip_id",
+                    F.coalesce("cluster_id", "clip_id").alias("cluster_id")))

@@ -1,0 +1,82 @@
+"""End-to-end pipeline runner: S1 ingest → ... → S8 clusters, with every
+stage checkpointed through StageCheckpoint (per-partition lineage, resume).
+
+run_pipeline() is what `spark-submit --py-files cdstore_spark.zip` would
+invoke on a real cluster; entry()/queries() in __spark_entry__.py call it
+(or its unchunked fast path) for the driver's gates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, PipelineConfig
+from . import candidates as S_cand
+from . import cluster as S_clust
+from . import featurize as S_feat
+from . import verify as S_verify
+from .snapshot import StageCheckpoint, chunk_filter
+
+
+def run_pipeline(spark: SparkSession, clips_path: str, workdir: str,
+                 cfg: PipelineConfig = DEFAULT, n_chunks: int = 4) -> dict:
+    """Checkpointed run. Returns stage DataFrames + lineage records.
+
+    Stage keying for resume: features + verify chunk on xxhash64 of the
+    stage key (clip_id / pair key); candidates + clusters are global
+    shuffles, checkpointed whole (chunk 0) — their inputs are already
+    snapshots, so a resume replays only what is missing.
+    """
+    clips = S_feat.load_clips(spark, clips_path)
+
+    ck_feat = StageCheckpoint(workdir, "s2_features", n_chunks)
+    feats = ck_feat.run(
+        spark,
+        lambda i: S_feat.featurize(
+            clips.where(chunk_filter("clip_id", n_chunks, i)), cfg),
+        hash_cols_for_lineage=["clip_id", "simhash_audio", "simhash_text",
+                               "n_events", "pcm_sha256"])
+
+    ck_cand = StageCheckpoint(workdir, "s6_candidates", 1)
+    cand = ck_cand.run(
+        spark, lambda _i: S_cand.candidate_pairs(feats, cfg)[0],
+        hash_cols_for_lineage=["a", "b"])
+
+    ck_ver = StageCheckpoint(workdir, "s7_confirmed", n_chunks)
+    confirmed = ck_ver.run(
+        spark,
+        lambda i: S_verify.verify_candidates(
+            cand.where(chunk_filter("a", n_chunks, i)), feats, cfg),
+        hash_cols_for_lineage=["a", "b", "audio_ok", "text_ok"])
+
+    ck_clust = StageCheckpoint(workdir, "s8_clusters", 1)
+    clusters = ck_clust.run(
+        spark,
+        lambda _i: S_clust.connected_components(
+            confirmed.select("a", "b"), clips.select("clip_id")),
+        hash_cols_for_lineage=["clip_id", "cluster_id"])
+
+    lineage = {ck.stage: ck.lineage()
+               for ck in (ck_feat, ck_cand, ck_ver, ck_clust)}
+    skew_stats = S_cand.candidate_pairs(feats, cfg)[1]
+    return {"clips": clips, "feats": feats, "candidates": cand,
+            "confirmed": confirmed, "clusters": clusters,
+            "lineage": lineage, "skew_stats": skew_stats}
+
+
+def run_pipeline_inline(spark: SparkSession, clips: DataFrame,
+                        cfg: PipelineConfig = DEFAULT) -> dict:
+    """Unchunked single-pass plan (no snapshot I/O) — used by the driver's
+    queries() where outputs are compared against oracles, and by bench."""
+    # featurize is the expensive Arrow stage and feeds both the candidate
+    # join and verify — persist so the plan computes it once
+    feats = S_feat.featurize(clips, cfg).persist()
+    cand, skew = S_cand.candidate_pairs(feats, cfg)
+    confirmed = S_verify.verify_candidates(cand, feats, cfg)
+    clusters = S_clust.connected_components(
+        confirmed.select("a", "b"), clips.select("clip_id"))
+    return {"feats": feats, "candidates": cand, "confirmed": confirmed,
+            "clusters": clusters, "skew_stats": skew}

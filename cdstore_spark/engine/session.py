@@ -1,0 +1,38 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Tested on local[N] in this sandbox, but every knob is the one you'd set on a
+1000-executor cluster: AQE on (runtime coalesce + skew-join splitting on top
+of our explicit skew handling), Arrow batches sized so decode batches of
+BinaryType payloads stay ~64 MB, shuffle partitions proportional to cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "cdstore-spark", parallelism: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cores = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = shuffle_partitions or max(2 * cores, 32)
+    return (
+        SparkSession.builder
+        .appName(app)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # decode batches carry ~50 KB binary payloads per row → ~1000 rows
+        # keeps an Arrow batch around 64 MB (SURVEY.md §7.4 decision 4)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )

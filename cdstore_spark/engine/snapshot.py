@@ -1,0 +1,108 @@
+"""S9–S10: checkpointed stage snapshots with per-partition lineage + resume.
+
+Graft of CDStore's container/recipe persistence + upload resumability
+(SURVEY.md §2.A ops 11–12): every pipeline stage materializes through a
+`StageCheckpoint`, which
+
+  * splits the stage into deterministic CHUNKS (hash ranges of the stage
+    key), each written as its own parquet directory `<stage>/chunk=<i>/`,
+  * records a per-chunk manifest entry (rows, value hash, per-partition row
+    counts, wall ms) via atomic tmp+rename JSON — the lineage/metrics table,
+  * on re-run, SKIPS every chunk whose manifest entry exists — a killed job
+    resumes mid-pipeline without recomputing completed partitions
+    (BASELINE.json north_star), and the resumed output is byte-identical
+    because chunk membership is a pure hash of the stage key.
+
+On a real cluster the same API is backed by Iceberg append snapshots
+(`write.target-file-size-bytes`, snapshot-id manifest); the Iceberg runtime
+jar is absent in this sandbox (SURVEY.md §0), so the parquet+manifest
+backend is the tested path and the Iceberg one is import-guarded in
+storage.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+class StageCheckpoint:
+    """Chunked, manifest-tracked materialization of one pipeline stage."""
+
+    def __init__(self, workdir: str, stage: str, n_chunks: int = 4) -> None:
+        self.stage = stage
+        self.dir = os.path.join(workdir, stage)
+        self.manifest_dir = os.path.join(self.dir, "_manifest")
+        self.n_chunks = n_chunks
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def _entry_path(self, chunk: int) -> str:
+        return os.path.join(self.manifest_dir, f"chunk-{chunk:05d}.json")
+
+    def chunk_done(self, chunk: int) -> bool:
+        return os.path.exists(self._entry_path(chunk))
+
+    def completed_chunks(self) -> list[int]:
+        return sorted(c for c in range(self.n_chunks) if self.chunk_done(c))
+
+    def run(self, spark: SparkSession,
+            compute_chunk: Callable[[int], DataFrame],
+            hash_cols_for_lineage: list[str] | None = None) -> DataFrame:
+        """Execute missing chunks, record lineage, return the full stage DF.
+
+        `compute_chunk(i)` must return chunk i's rows — typically the stage
+        plan filtered by pmod(xxhash64(key), n_chunks) == i, so membership
+        is deterministic and a resume recomputes nothing already done.
+        """
+        recomputed = 0
+        for i in range(self.n_chunks):
+            if self.chunk_done(i):
+                continue
+            t0 = time.time()
+            df = compute_chunk(i).withColumn("_part", F.spark_partition_id())
+            out = os.path.join(self.dir, f"chunk={i}")
+            df.write.mode("overwrite").parquet(out)
+            written = spark.read.parquet(out)
+            per_part = [r.asDict() for r in
+                        (written.groupBy("_part")
+                         .agg(F.count(F.lit(1)).alias("rows"))
+                         .orderBy("_part").collect())]
+            hcols = hash_cols_for_lineage or [
+                c for c in written.columns if c != "_part"]
+            agg = written.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.expr("bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in hcols)
+                       + "))").alias("value_hash")).collect()[0]
+            _atomic_write_json(self._entry_path(i), {
+                "stage": self.stage, "chunk": i,
+                "rows": agg["rows"], "value_hash": str(agg["value_hash"]),
+                "partitions": per_part,
+                "wall_ms": int(1000 * (time.time() - t0)),
+            })
+            recomputed += 1
+        self.last_recomputed_chunks = recomputed
+        return spark.read.parquet(self.dir).drop("_part")
+
+    def lineage(self) -> list[dict]:
+        out = []
+        for c in self.completed_chunks():
+            with open(self._entry_path(c)) as f:
+                out.append(json.load(f))
+        return out
+
+
+def chunk_filter(col: str, n_chunks: int, chunk: int):
+    """Deterministic chunk membership predicate for a string key column."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_chunks)) == F.lit(chunk)

@@ -48,16 +48,25 @@ def candidate_pairs_from_feats(feats: pd.DataFrame, cfg: PipelineConfig
             for band_idx in range(cfg.lsh_bands):
                 buckets[(band_idx, int(bands[i, band_idx]))].append(i)
         flag_pos = 0 if ch == "audio" else 1
+        cap = cfg.bucket_cap
+
+        def add(x: str, y: str) -> None:
+            if y < x:
+                x, y = y, x
+            pair_flags[(x, y)][flag_pos] = True
+
         for key, members in buckets.items():
             if len(members) < 2:
                 continue
-            kept = members[: cfg.bucket_cap]
-            for ii in range(len(kept)):
-                for jj in range(ii + 1, len(kept)):
-                    x, y = clip_ids[kept[ii]], clip_ids[kept[jj]]
-                    if y < x:
-                        x, y = y, x
-                    pair_flags[(x, y)][flag_pos] = True
+            # skew split: within-sub-bucket pairs + representative chain
+            # (identical semantics to engine/candidates.py — linear growth)
+            for s in range(0, len(members), cap):
+                sub = members[s: s + cap]
+                for ii in range(len(sub)):
+                    for jj in range(ii + 1, len(sub)):
+                        add(clip_ids[sub[ii]], clip_ids[sub[jj]])
+                if s > 0:
+                    add(clip_ids[members[0]], clip_ids[members[s]])
     if not pair_flags:
         return pd.DataFrame(columns=["a", "b", "from_audio", "from_text"])
     recs = [(a, b, f[0], f[1]) for (a, b), f in pair_flags.items()]
