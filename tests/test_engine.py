@@ -1,0 +1,104 @@
+"""Distributed engine vs frozen oracle — exact equality at smoke tier, plus
+per-row decode invariants (SNR, transcript passthrough) and the connected-
+components algorithm against random graphs (SURVEY.md §5.2.2–4)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cdstore_spark import golden
+from cdstore_spark.config import DEFAULT as CFG
+from cdstore_spark.engine import cluster as S_clust
+from cdstore_spark.engine import featurize as S_feat
+from cdstore_spark.engine import pipeline as P
+from cdstore_spark.kernels import unionfind
+
+
+@pytest.fixture(scope="module")
+def smoke_run(spark, smoke_golden):
+    clips = S_feat.load_clips(spark, golden.clips_path("smoke"))
+    out = P.run_pipeline_inline(spark, clips)
+    res = {
+        "confirmed": out["confirmed"].toPandas(),
+        "clusters": out["clusters"].toPandas(),
+        "feats": out["feats"].select(
+            "clip_id", "n_samples", "rms", "pcm_sha256",
+            "transcript").toPandas(),
+        "skew": out["skew_stats"].toPandas(),
+    }
+    out["feats"].unpersist()
+    return res
+
+
+class TestEngineMatchesOracle:
+    def test_confirmed_pairs_equal(self, smoke_run, smoke_golden):
+        exp = pd.read_parquet(os.path.join(smoke_golden,
+                                           "expected_pairs.parquet"))
+        got = smoke_run["confirmed"]
+        se = set(map(tuple, exp[["a", "b"]].values))
+        sg = set(map(tuple, got[["a", "b"]].values))
+        assert se == sg
+        # dup-pair recall vs the reference decisions: exactly 1.0
+        assert len(se - sg) == 0
+
+    def test_cluster_assignments_equal(self, smoke_run, smoke_golden):
+        exp = (pd.read_parquet(os.path.join(smoke_golden,
+                                            "expected_clusters.parquet"))
+               .sort_values("clip_id").reset_index(drop=True))
+        got = (smoke_run["clusters"]
+               .sort_values("clip_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp[["clip_id", "cluster_id"]])
+
+    def test_decode_bit_exact_and_snr(self, smoke_run, smoke_golden):
+        exp = pd.read_parquet(os.path.join(smoke_golden,
+                                           "expected_pcm_stats.parquet"))
+        got = smoke_run["feats"]
+        m = got.merge(exp, on="clip_id", suffixes=("_g", "_e"))
+        assert len(m) == len(exp)
+        # engine decode is bit-identical to the oracle decode → SNR = inf,
+        # which trivially satisfies the >= 30 dB allclose invariant
+        assert (m["pcm_sha256_g"] == m["pcm_sha256_e"]).all()
+        assert (m["n_samples_g"] == m["n_samples_e"]).all()
+
+    def test_transcript_passthrough(self, smoke_run, smoke_golden):
+        clips = pd.read_parquet(os.path.join(smoke_golden,
+                                             "audio_clips.parquet"))
+        m = smoke_run["feats"].merge(clips[["clip_id", "transcript"]],
+                                     on="clip_id", suffixes=("_g", "_e"))
+        assert (m["transcript_g"] == m["transcript_e"]).all()
+
+    def test_skew_stats_shape(self, smoke_run):
+        s = smoke_run["skew"]
+        assert set(s["channel"]) == {"audio", "text"}
+        assert (s["max_bucket"] >= 1).all()
+
+
+class TestConnectedComponents:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_graph_matches_unionfind(self, spark, seed):
+        rng = np.random.default_rng(seed)
+        n = 120
+        ids = [f"n{i:04d}" for i in range(n)]
+        edges = [(ids[rng.integers(0, n)], ids[rng.integers(0, n)])
+                 for _ in range(90)]
+        edges = [(a, b) for a, b in edges if a != b]
+        exp = unionfind.components(edges, ids)
+        pairs = spark.createDataFrame(edges, ["a", "b"])
+        uni = spark.createDataFrame([(i,) for i in ids], ["clip_id"])
+        got = {r["clip_id"]: r["cluster_id"]
+               for r in S_clust.connected_components(pairs, uni).collect()}
+        assert got == exp
+
+    def test_long_chain(self, spark):
+        # a path graph needs the full O(log n) alternation to converge
+        ids = [f"c{i:03d}" for i in range(64)]
+        edges = list(zip(ids[:-1], ids[1:]))
+        pairs = spark.createDataFrame(edges, ["a", "b"])
+        uni = spark.createDataFrame([(i,) for i in ids], ["clip_id"])
+        got = S_clust.connected_components(pairs, uni).collect()
+        assert all(r["cluster_id"] == "c000" for r in got)

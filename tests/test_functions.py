@@ -1,0 +1,118 @@
+"""Training-data operators: dedup/ANN/quality over documents/embeddings,
+multimodal plumbing — including driver-style DuckDB oracle comparisons for
+a representative subset (the full sweep lives in tools/check_contract.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+VIEWS = ["documents", "embeddings", "lineitem", "orders", "customer",
+         "supplier", "nation", "region", "part", "events"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for v in VIEWS:
+        con.execute(f"CREATE VIEW {v} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{v}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(df.columns)
+    rows = sorted("\x1f".join(
+        f"{v:.6f}" if isinstance(v, float) else str(v) for v in rec)
+        for rec in df[cols].itertuples(index=False, name=None))
+    return (len(df), cols,
+            hashlib.sha256("\n".join(rows).encode()).hexdigest())
+
+
+@pytest.mark.parametrize("name", [
+    "dedup_exact_docs", "dedup_jaccard_docs", "text_quality_docs",
+    "ann_topk_cosine", "embedding_centroids", "tpch_q1_pricing",
+    "customer_top_orders_window", "events_first_touch",
+])
+def test_query_matches_duckdb_oracle(spark, duck, name):
+    import __spark_entry__ as E
+    got = E.queries()[name](spark, SF).toPandas()
+    exp = duck.execute(E.oracle_sql()[name]).df()
+    assert _canon(got) == _canon(exp)
+
+
+class TestSimops:
+    def test_lsh_topk_recall_vs_bruteforce(self, spark):
+        from cdstore_spark.functions import simops as S
+        embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = [float(v) for v in
+             embs.where("vec_id = 0").collect()[0]["embedding"]]
+        bf = {r["vec_id"] for r in
+              S.topk_bruteforce(embs, q, 10, exclude_vec_id=0).collect()}
+        ap = {r["vec_id"] for r in
+              S.topk_lsh(embs, q, 10, exclude_vec_id=0).collect()}
+        # approximate: same-bucket neighbors must overlap the exact top-k
+        assert len(ap & bf) >= 1
+        assert len(ap) <= 10
+
+    def test_buckets_deterministic(self, spark):
+        from cdstore_spark.functions import simops as S
+        embs = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+        b1 = S.lsh_buckets(embs, dim=64).toPandas().sort_values("vec_id")
+        b2 = S.lsh_buckets(embs, dim=64).toPandas().sort_values("vec_id")
+        assert (b1["bucket"].values == b2["bucket"].values).all()
+
+
+class TestMultimodal:
+    def test_frame_sampling_counts(self, spark, smoke_golden):
+        from cdstore_spark import golden
+        from cdstore_spark.engine import featurize as S_feat
+        from cdstore_spark.functions import multimodal as M
+        clips = S_feat.load_clips(
+            spark, golden.clips_path("smoke")).limit(20)
+        frames = M.frame_sample_audio(clips, frame_ms=100).toPandas()
+        meta = clips.select("clip_id", "dur_ms").toPandas()
+        got = frames.groupby("clip_id").size()
+        for _, r in meta.iterrows():
+            assert got.get(r["clip_id"], 0) == r["dur_ms"] // 100
+
+    def test_image_stub_plumbing(self, spark, smoke_golden):
+        from cdstore_spark import golden
+        from cdstore_spark.engine import featurize as S_feat
+        from cdstore_spark.functions import multimodal as M
+        clips = S_feat.load_clips(
+            spark, golden.clips_path("smoke")).limit(10)
+        out = M.image_features(clips).toPandas()
+        assert len(out) == 10
+        assert all(len(f) == 16 for f in out["feature"])
+        # deterministic fake: same bytes → same feature
+        out2 = M.image_features(clips).toPandas()
+        pd.testing.assert_frame_equal(
+            out.sort_values("clip_id").reset_index(drop=True),
+            out2.sort_values("clip_id").reset_index(drop=True))
+
+
+class TestTextops:
+    def test_simhash_pairs_subset_of_jaccardish(self, spark):
+        from cdstore_spark.functions import textops as X
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        ham = X.simhash_hamming_pairs(docs, max_bits=4).toPandas()
+        if len(ham):
+            jac = X.jaccard_pairs(docs, threshold=0.5).toPandas()
+            sj = set(map(tuple, jac[["a", "b"]].values))
+            hits = sum((a, b) in sj for a, b in ham[["a", "b"]].values)
+            assert hits / len(ham) >= 0.8
+
+    def test_fingerprints_shape(self, spark):
+        from cdstore_spark.functions import textops as X
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+        fp = X.doc_fingerprints(docs).toPandas()
+        assert len(fp) == 20
+        assert all(len(v) <= 16 for v in fp["fingerprints"])
