@@ -33,10 +33,13 @@ def run_pipeline(spark: SparkSession, clips_path: str, workdir: str,
     clips = S_feat.load_clips(spark, clips_path)
 
     ck_feat = StageCheckpoint(workdir, "s2_features", n_chunks)
+    # payload-local featurize: chunk membership = row-group index mod
+    # n_chunks (deterministic, shuffle-free, resume-aligned)
     feats = ck_feat.run(
         spark,
-        lambda i: S_feat.featurize(
-            clips.where(chunk_filter("clip_id", n_chunks, i)), cfg),
+        lambda i: S_feat.featurize_from_parquet(
+            spark, clips_path, cfg,
+            unit_filter=lambda idx, _n, i=i: idx % n_chunks == i),
         hash_cols_for_lineage=["clip_id", "simhash_audio", "simhash_text",
                                "n_events", "pcm_sha256"])
 
@@ -68,12 +71,17 @@ def run_pipeline(spark: SparkSession, clips_path: str, workdir: str,
 
 
 def run_pipeline_inline(spark: SparkSession, clips: DataFrame,
-                        cfg: PipelineConfig = DEFAULT) -> dict:
+                        cfg: PipelineConfig = DEFAULT,
+                        clips_path: str | None = None) -> dict:
     """Unchunked single-pass plan (no snapshot I/O) — used by the driver's
-    queries() where outputs are compared against oracles, and by bench."""
+    queries() where outputs are compared against oracles, and by bench.
+    Pass clips_path to use the payload-local parquet reader (fast path)."""
     # featurize is the expensive Arrow stage and feeds both the candidate
     # join and verify — persist so the plan computes it once
-    feats = S_feat.featurize(clips, cfg).persist()
+    if clips_path is not None:
+        feats = S_feat.featurize_from_parquet(spark, clips_path, cfg).persist()
+    else:
+        feats = S_feat.featurize(clips, cfg).persist()
     cand, skew = S_cand.candidate_pairs(feats, cfg)
     confirmed = S_verify.verify_candidates(cand, feats, cfg)
     clusters = S_clust.connected_components(

@@ -27,9 +27,12 @@ def get_spark(app: str = "cdstore-spark", parallelism: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # decode batches carry ~50 KB binary payloads per row → ~1000 rows
-        # keeps an Arrow batch around 64 MB (SURVEY.md §7.4 decision 4)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # Spark's JVM-side ArrowWriter is super-linear in batch size for
+        # wide BinaryType rows (measured: batch=16 moves the same bytes 6x
+        # faster than batch=256); the decode hot path avoids JVM→Python
+        # payload transfer entirely (featurize_from_parquet), so this
+        # setting only shapes the remaining small-row UDF stages
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

@@ -58,7 +58,10 @@ def clips_path(tier: str) -> str:
 
 def _write(pdf: pd.DataFrame, path: str, schema: pa.Schema | None = None) -> None:
     tbl = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
-    pq.write_table(tbl, path)
+    # small row groups: Spark parallelizes a parquet scan at row-group
+    # granularity — a single-row-group file (pyarrow's default 1M rows)
+    # serializes the whole scan onto one task regardless of cluster size
+    pq.write_table(tbl, path, row_group_size=512)
 
 
 def ensure_clips(tier: str) -> str:
