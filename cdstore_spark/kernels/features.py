@@ -29,15 +29,25 @@ U64 = np.uint64
 
 
 def smooth_envelope(x: np.ndarray, sr_hz: int, cfg: PipelineConfig) -> np.ndarray:
-    """Moving-average of |x| over ~env_smooth_ms, decimated to ~env_rate_hz."""
+    """Moving-average of |x| over ~env_smooth_ms at ~env_rate_hz ticks.
+
+    Implemented as per-block |x| sums (np.add.reduceat at the envelope
+    tick D = sr/env_rate) + a k-block rolling sum, NOT a per-sample
+    float64 cumsum: the full-rate formulation streams ~30 B/sample and
+    saturates memory bandwidth long before 32 cores are busy (measured:
+    8→32-core scaling collapsed to 2.5x); the block form touches each
+    sample once.
+    """
     n = x.shape[0]
-    w = max(4, (sr_hz * cfg.env_smooth_ms) // 1000)
-    if n < w + 2:
+    d = max(1, sr_hz // cfg.env_rate_hz)                  # samples per tick
+    k = max(1, round(cfg.env_smooth_ms * sr_hz / 1000 / d))  # ticks per window
+    nb = n // d
+    if nb < k + 2:
         return np.empty(0, dtype=np.float32)
-    c = np.concatenate(([0.0], np.cumsum(np.abs(x), dtype=np.float64)))
-    env = (c[w:] - c[:-w]) * (1.0 / w)          # length n - w + 1
-    step = max(1, sr_hz // cfg.env_rate_hz)
-    return env[::step].astype(np.float32)
+    starts = np.arange(0, nb * d, d)
+    block_sums = np.add.reduceat(np.abs(x[:nb * d]), starts)
+    c = np.concatenate(([0.0], np.cumsum(block_sums, dtype=np.float64)))
+    return ((c[k:] - c[:-k]) * (1.0 / (k * d))).astype(np.float32)
 
 
 def _median_filter(q: np.ndarray, width: int) -> np.ndarray:
@@ -88,13 +98,23 @@ def audio_events(x: np.ndarray, sr_hz: int, cfg: PipelineConfig
     dur_bucket = np.floor(np.log(np.maximum(dur_ms, 1.0)) / log_base).astype(np.uint16)
     symbols = (levels << np.uint16(5)) | np.minimum(dur_bucket, np.uint16(31))
 
-    # per-event zero-crossing rate (Hz, log2) over the raw-sample span
+    # per-event zero-crossing rate (Hz, log2): crossings are counted per
+    # envelope tick (one reduceat pass over the flip bitmap), then prefix-
+    # summed at tick granularity — events are tick-aligned by construction
+    nb = env.shape[0] + 0  # env length = nb - k + 1; ticks available:
     sign = np.signbit(x)
-    zc_prefix = np.concatenate(([0], np.cumsum(sign[1:] != sign[:-1])))
-    lo = np.minimum(starts * step, x.shape[0] - 1)
-    hi = np.minimum(ends * step, x.shape[0] - 1)
+    flips = (sign[1:] != sign[:-1])
+    n_tick = flips.shape[0] // step
+    if n_tick < 1:
+        return empty
+    tick_starts = np.arange(0, n_tick * step, step)
+    per_tick = np.add.reduceat(flips[: n_tick * step].astype(np.int32),
+                               tick_starts)
+    zc_prefix = np.concatenate(([0], np.cumsum(per_tick)))
+    lo = np.minimum(starts, n_tick)
+    hi = np.minimum(ends, n_tick)
     crossings = (zc_prefix[hi] - zc_prefix[lo]).astype(np.float64)
-    secs = np.maximum(hi - lo, 1).astype(np.float64) / sr_hz
+    secs = np.maximum(hi - lo, 1).astype(np.float64) * step / sr_hz
     zcr_log2 = np.log2(np.maximum(crossings / secs, 1.0)).astype(np.float32)
     return symbols, dur_ms, zcr_log2
 
