@@ -1,0 +1,111 @@
+"""Structured Streaming: incremental dedup ingest (foreachBatch + band-index
+matching, exactly-once via checkpoint) and watermarked windowed aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cdstore_spark import golden
+
+
+@pytest.fixture()
+def staged_clips(spark, smoke_golden, tmp_path):
+    """Split 120 smoke clips into 3 arrival files."""
+    src = spark.read.parquet(golden.clips_path("smoke")).limit(120).toPandas()
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    for i in range(3):
+        part = src.iloc[i * 40:(i + 1) * 40]
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from cdstore_spark.golden import _CLIPS_SCHEMA
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=_CLIPS_SCHEMA,
+                                 preserve_index=False),
+            str(in_dir / f"arrival_{i}.parquet"))
+    return str(in_dir), src
+
+
+class TestIncrementalIngest:
+    def test_ingest_accumulates_and_is_idempotent(self, spark, staged_clips,
+                                                  tmp_path):
+        from cdstore_spark.streaming.ingest import incremental_dedup_ingest
+        in_dir, src = staged_clips
+        state = str(tmp_path / "state")
+
+        q = incremental_dedup_ingest(spark, in_dir, state)
+        q.awaitTermination(300)
+        feats = spark.read.parquet(os.path.join(state, "features"))
+        assert feats.count() == 120
+        assert feats.select("clip_id").distinct().count() == 120
+
+        # restart with no new files: checkpoint prevents reprocessing
+        q2 = incremental_dedup_ingest(spark, in_dir, state)
+        q2.awaitTermination(300)
+        assert spark.read.parquet(
+            os.path.join(state, "features")).count() == 120
+
+    def test_cross_batch_pairs_found(self, spark, staged_clips, tmp_path):
+        """Planted duplicates split across arrival files must still pair up
+        (new-vs-old band index join)."""
+        from cdstore_spark.streaming.ingest import incremental_dedup_ingest
+        in_dir, src = staged_clips
+        state = str(tmp_path / "state2")
+        q = incremental_dedup_ingest(spark, in_dir, state)
+        q.awaitTermination(300)
+
+        pair_dir = os.path.join(state, "pairs")
+        pairs = spark.read.parquet(pair_dir).toPandas()
+        got = set(map(tuple, pairs[["a", "b"]].values))
+
+        # batch reference: candidate pairs over the same 120 clips at once
+        import pyarrow.parquet as pq
+        from cdstore_spark.engine import candidates as S_cand
+        from cdstore_spark.engine import featurize as S_feat
+        from cdstore_spark.config import DEFAULT
+        feats = S_feat.featurize(
+            spark.createDataFrame(src), DEFAULT)
+        exp_pairs, _ = S_cand.candidate_pairs(feats, DEFAULT)
+        exp = set(map(tuple, exp_pairs.select("a", "b").toPandas().values))
+        # streaming must find every batch candidate (it may add none extra)
+        assert exp <= got
+
+
+class TestWindowedAgg:
+    def test_watermarked_window_counts(self, spark, tmp_path):
+        from cdstore_spark.streaming.ingest import windowed_event_counts
+        src = "/root/testdata/sf0.001/events.parquet"
+        ev_dir = tmp_path / "events_in"
+        ev_dir.mkdir()
+        shutil.copy(src, str(ev_dir / "events.parquet"))
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema).parquet(str(ev_dir))
+                  .select("event_id",
+                          F.col("ts").cast("timestamp").alias("ts"),
+                          "user_id", "event_type", "value"))
+        out = windowed_event_counts(stream)
+        q = (out.writeStream.format("memory").queryName("wincounts")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        # append mode emits only watermark-closed windows; compare against
+        # batch computation restricted to closed windows
+        got = spark.sql("select * from wincounts").toPandas()
+        batch = spark.read.parquet(src)
+        exp = (batch.withColumn("ts", F.col("ts").cast("timestamp"))
+               .groupBy(F.window("ts", "1 day").alias("win"),
+                        "event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"))
+               .select(F.col("win.start").alias("window_start"),
+                       "event_type", "n_events").toPandas())
+        if len(got):
+            m = got.merge(exp, on=["window_start", "event_type"],
+                          suffixes=("_g", "_e"))
+            assert (m["n_events_g"] == m["n_events_e"]).all()
