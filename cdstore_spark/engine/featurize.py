@@ -37,8 +37,10 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("event_zcr", T.ArrayType(T.FloatType())),
     T.StructField("n_shingles_audio", T.IntegerType()),
     T.StructField("n_shingles_text", T.IntegerType()),
-    T.StructField("sig_audio", T.ArrayType(T.LongType())),
-    T.StructField("sig_text", T.ArrayType(T.LongType())),
+    # NOTE: the full 128-slot MinHash signatures are deliberately NOT in
+    # the engine's feature schema — band hashes already encode everything
+    # downstream stages consume, and the 2 KB/clip of signature arrays
+    # doubled the Python→JVM Arrow traffic of the featurize stage
     T.StructField("simhash_audio", T.LongType()),
     T.StructField("simhash_text", T.LongType()),
     T.StructField("bands_audio", T.ArrayType(T.LongType())),
@@ -74,6 +76,7 @@ def featurize(clips: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
             if len(pdf) == 0:
                 continue
             out = featurize_batch(pdf, cfg, with_pcm_stats=True)
+            out = out.drop(columns=["sig_audio", "sig_text"])
             out["transcript"] = pdf["transcript"].astype(str).to_numpy()
             yield out
 
@@ -118,8 +121,14 @@ def featurize_from_parquet(spark: SparkSession, path: str,
         units = [u for i, u in enumerate(units) if unit_filter(i, n)]
     if not units:
         return spark.createDataFrame([], FEATURE_SCHEMA)
+    # pack several row-group units per task: each mapInPandas task carries
+    # ~0.2-0.3 s of fixed Arrow/python-eval setup, so hundreds of one-unit
+    # tasks burn more core-time on overhead than on work (measured); a few
+    # units per task keeps full parallelism with 4 waves for stragglers
+    n_tasks = max(1, min(len(units),
+                         4 * spark.sparkContext.defaultParallelism))
     unit_df = (spark.createDataFrame(units, "file string, rg int")
-               .repartition(len(units)))
+               .repartition(n_tasks))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
@@ -133,6 +142,7 @@ def featurize_from_parquet(spark: SparkSession, path: str,
                 if len(cpdf) == 0:
                     continue
                 out = featurize_batch(cpdf, cfg, with_pcm_stats=True)
+                out = out.drop(columns=["sig_audio", "sig_text"])
                 out["transcript"] = cpdf["transcript"].astype(str).to_numpy()
                 yield out
 
