@@ -317,6 +317,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.avg("p_retailprice"), 4).alias("avg_price")))
     q["part_brand_stats"] = part_brand_stats
 
+    def tpch_q6_forecast_revenue(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+               * F.col("l_discount").cast("decimal(18,4)"))
+        return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                         & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                         & (F.col("l_discount").between(0.03, 0.07))
+                         & (F.col("l_quantity") < 24))
+                .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+                     F.count(F.lit(1)).alias("n_rows")))
+    q["tpch_q6_forecast_revenue"] = tpch_q6_forecast_revenue
+
+    def orders_rollup(spark, sf):
+        o = _t(spark, sf, "orders")
+        return (o.rollup("o_orderstatus", "o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.round(F.avg("o_totalprice"), 4).alias("avg_price")))
+    q["orders_rollup"] = orders_rollup
+
+    def customers_with_big_order(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        big = o.where(F.col("o_totalprice") > 400000).select(
+            F.col("o_custkey").alias("c_custkey"))
+        return (c.join(big, "c_custkey", "leftsemi")
+                .select("c_custkey", "c_name", "c_mktsegment"))
+    q["customers_with_big_order"] = customers_with_big_order
+
     return q
 
 
@@ -531,4 +559,25 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
                    round(avg(p_retailprice), 4) AS avg_price
             FROM part WHERE p_type LIKE '%BRASS%'
             GROUP BY p_brand""",
+        "tpch_q6_forecast_revenue": """
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 4)
+                       AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24""",
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "customers_with_big_order": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 400000)""",
     }

@@ -71,9 +71,13 @@ def worker(cpus: int, what: str, path: str, out: str) -> None:
     spark = _spark(cpus)
     t0 = time.time()
     if what == "featurize":
-        feats = S_feat.featurize_from_parquet(spark, path, CFG)
-        n = feats.count()
-        res = {"wall_s": time.time() - t0, "rows": n}
+        # best of 2 — steady-state throughput, not cold page-cache/JIT
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t1 = time.time()
+            n = S_feat.featurize_from_parquet(spark, path, CFG).count()
+            best = min(best, time.time() - t1)
+        res = {"wall_s": best, "rows": n}
     elif what == "e2e":
         feats = S_feat.featurize_from_parquet(spark, path, CFG).persist()
         n = feats.count()
