@@ -73,7 +73,7 @@ def worker(cpus: int, what: str, path: str, out: str) -> None:
     if what == "featurize":
         # best of 2 — steady-state throughput, not cold page-cache/JIT
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             t1 = time.time()
             n = S_feat.featurize_from_parquet(spark, path, CFG).count()
             best = min(best, time.time() - t1)

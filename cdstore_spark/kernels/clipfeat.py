@@ -123,8 +123,14 @@ def verify_pair(ev_a: np.ndarray, ms_a: np.ndarray, zcr_a: np.ndarray,
     audio_ok, span_ms = False, 0.0
     if try_audio and ev_a.shape[0] >= cfg.verify_min_events \
             and ev_b.shape[0] >= cfg.verify_min_events:
-        run, pa, pb = K_suffix.longest_common_run(ev_a.astype(np.int64),
-                                                  ev_b.astype(np.int64))
+        # identical event arrays (exact/reencode/gain duplicates) need no
+        # suffix array: the LCS is the whole sequence at positions (0, 0),
+        # which is exactly what the SA path returns for equal inputs
+        if ev_a.shape[0] == ev_b.shape[0] and np.array_equal(ev_a, ev_b):
+            run, pa, pb = int(ev_a.shape[0]), 0, 0
+        else:
+            run, pa, pb = K_suffix.longest_common_run(ev_a.astype(np.int64),
+                                                      ev_b.astype(np.int64))
         if run >= cfg.verify_min_events:
             span_ms = float(ms_a[pa: pa + run].sum())
             zgap = float(np.median(np.abs(zcr_a[pa: pa + run].astype(np.float64)
@@ -133,9 +139,12 @@ def verify_pair(ev_a: np.ndarray, ms_a: np.ndarray, zcr_a: np.ndarray,
                         and zgap <= cfg.verify_zcr_log2_tol)
     text_ok, nchars = False, 0
     if try_text:
-        ca = K_text.char_codes(txt_a)
-        cb = K_text.char_codes(txt_b)
-        run, _, _ = K_suffix.longest_common_run(ca, cb)
-        nchars = int(run)
+        na, nb = K_text.normalize(txt_a), K_text.normalize(txt_b)
+        if na == nb:
+            nchars = len(na)        # LCS of identical strings = the string
+        else:
+            run, _, _ = K_suffix.longest_common_run(K_text.char_codes(txt_a),
+                                                    K_text.char_codes(txt_b))
+            nchars = int(run)
         text_ok = nchars >= cfg.verify_min_chars
     return audio_ok, text_ok, span_ms, nchars

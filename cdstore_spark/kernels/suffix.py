@@ -30,8 +30,11 @@ def suffix_array(tokens: np.ndarray) -> np.ndarray:
     ranks[order] = np.concatenate(([0], np.cumsum(sorted_t[1:] != sorted_t[:-1])))
     k = 1
     idx = np.arange(n)
+    padded = np.empty(n + 1, dtype=np.int64)
+    padded[n] = -1
     while k < n:
-        key2 = np.where(idx + k < n, np.append(ranks, -1)[np.minimum(idx + k, n)], -1)
+        padded[:n] = ranks
+        key2 = padded[np.minimum(idx + k, n)]
         order = np.lexsort((key2, ranks))
         r1, r2 = ranks[order], key2[order]
         new = np.empty(n, dtype=np.int64)
@@ -45,7 +48,12 @@ def suffix_array(tokens: np.ndarray) -> np.ndarray:
 
 
 def lcp_array(tokens: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """Kasai LCP: lcp[i] = LCP(suffix sa[i-1], suffix sa[i]); lcp[0] = 0."""
+    """Kasai LCP: lcp[i] = LCP(suffix sa[i-1], suffix sa[i]); lcp[0] = 0.
+
+    Reference implementation (O(n), but a per-token Python loop); the
+    pipeline uses lcp_array_hashed, which computes the same array with
+    vectorized NumPy. Kept for cross-checking in tests.
+    """
     n = tokens.shape[0]
     lcp = np.zeros(n, dtype=np.int64)
     if n < 2:
@@ -67,6 +75,50 @@ def lcp_array(tokens: np.ndarray, sa: np.ndarray) -> np.ndarray:
     return lcp
 
 
+def lcp_array_hashed(tokens: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """LCP of adjacent suffix-array entries via vectorized binary search on
+    O(1) polynomial span hashes — no per-token Python.
+
+    Produces the same values as Kasai with overwhelming probability (64-bit
+    span hashes; a collision could only overstate one lcp entry). All
+    comparisons run simultaneously across the n-1 adjacent pairs: log2(n)
+    rounds of whole-array hash compares.
+    """
+    from . import hashing as H
+
+    n = tokens.shape[0]
+    lcp = np.zeros(n, dtype=np.int64)
+    if n < 2:
+        return lcp
+    mixed = H.mix64(tokens.astype(np.uint64))
+    prefix = H.poly_prefix(mixed)
+    inv = H.poly_inv_powers(n + 1)
+
+    i_pos = sa[:-1].astype(np.int64)     # suffix starts (previous in SA)
+    j_pos = sa[1:].astype(np.int64)      # suffix starts (current in SA)
+    max_l = n - np.maximum(i_pos, j_pos)  # upper bound per pair
+    lo = np.zeros(i_pos.shape[0], dtype=np.int64)
+    hi = max_l.copy()
+    # invariant: LCP in [lo, hi]; binary search all pairs at once.
+    # equality test uses the RAW shift-invariant span value
+    # (prefix[e]-prefix[s])*inv[s] — equal spans ⇔ equal raw values, no
+    # finalizer mixing needed in a pure equality test
+    while True:
+        active = lo < hi
+        if not active.any():
+            break
+        mid = (lo + hi + 1) >> 1
+        ia = i_pos + np.where(active, mid, 0)
+        ib = j_pos + np.where(active, mid, 0)
+        ha = (prefix[ia] - prefix[i_pos]) * inv[i_pos]
+        hb = (prefix[ib] - prefix[j_pos]) * inv[j_pos]
+        eq = (ha == hb) & active
+        lo = np.where(eq, mid, lo)
+        hi = np.where(active & ~eq, mid - 1, hi)
+    lcp[1:] = lo
+    return lcp
+
+
 def longest_common_run(a: np.ndarray, b: np.ndarray) -> tuple[int, int, int]:
     """Longest common substring of two integer token sequences.
 
@@ -79,7 +131,7 @@ def longest_common_run(a: np.ndarray, b: np.ndarray) -> tuple[int, int, int]:
     sep = lo - 1
     s = np.concatenate((a.astype(np.int64), [sep], b.astype(np.int64)))
     sa = suffix_array(s)
-    lcp = lcp_array(s, sa)
+    lcp = lcp_array_hashed(s, sa)
     side = sa < na                       # True = suffix starts in a
     cross = side[1:] != side[:-1]        # adjacent suffixes from different halves
     if not cross.any():
