@@ -161,7 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- documents: dedup + text analysis --------------------------------
     def dedup_exact_docs(spark, sf):
-        return X.dedup_exact(_docs(spark, sf))
+        return X.dedup_exact_canonical(_docs(spark, sf))
     q["dedup_exact_docs"] = dedup_exact_docs
 
     def dedup_jaccard_docs(spark, sf):
@@ -300,17 +300,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("user_id", "event_id", "event_type"))
     q["events_first_touch"] = events_first_touch
 
-    def customers_without_orders(spark, sf):
+    def customers_without_f_orders(spark, sf):
         c = _t(spark, sf, "customer").select("c_custkey")
-        o = _t(spark, sf, "orders").select(
-            F.col("o_custkey").alias("c_custkey"))
-        return c.exceptAll(c.join(o, "c_custkey", "leftsemi")) \
-                .distinct()
-    q["customers_without_orders"] = customers_without_orders
+        f_orders = (_t(spark, sf, "orders")
+                    .where(F.col("o_orderstatus") == "F")
+                    .select(F.col("o_custkey").alias("c_custkey")))
+        return c.join(f_orders, "c_custkey", "left_anti").distinct()
+    q["customers_without_f_orders"] = customers_without_f_orders
 
     def part_brand_stats(spark, sf):
         p = _t(spark, sf, "part")
-        return (p.where(F.col("p_type").like("%BRASS%"))
+        return (p.where(F.col("p_type").like("%AND%"))
                 .groupBy("p_brand")
                 .agg(F.count(F.lit(1)).alias("n_parts"),
                      F.max("p_size").alias("max_size"),
@@ -457,9 +457,10 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
 
         # ---- documents ----
         "dedup_exact_docs": """
-            SELECT md5(text) AS text_md5, count(*) AS n_docs,
-                   min(doc_id) AS canonical_doc_id
-            FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+            SELECT doc_id, md5(text) AS text_md5,
+                   min(doc_id) OVER (PARTITION BY md5(text))
+                       AS canonical_doc_id
+            FROM documents""",
         "dedup_jaccard_docs": grams_cte,
         "dedup_minhash_lsh_docs": grams_cte,
         "text_quality_docs": _TEXT_QUALITY_SQL,
@@ -551,13 +552,14 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY ts, event_id) AS rk
               FROM events) WHERE rk = 1""",
-        "customers_without_orders": """
+        "customers_without_f_orders": """
             SELECT DISTINCT c_custkey FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
         "part_brand_stats": """
             SELECT p_brand, count(*) AS n_parts, max(p_size) AS max_size,
                    round(avg(p_retailprice), 4) AS avg_price
-            FROM part WHERE p_type LIKE '%BRASS%'
+            FROM part WHERE p_type LIKE '%AND%'
             GROUP BY p_brand""",
         "tpch_q6_forecast_revenue": """
             SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

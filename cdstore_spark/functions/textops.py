@@ -19,7 +19,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -44,6 +44,17 @@ def doc_ngrams(df: DataFrame, n: int = NGRAM) -> DataFrame:
                     F.concat_ws(" ", *[F.element_at("toks", F.col("i") + 1 + k)
                                        for k in range(n)]).alias("gram"))
             .distinct())
+
+
+def dedup_exact_canonical(df: DataFrame) -> DataFrame:
+    """Exact-dedup canonical mapping: every doc annotated with the minimum
+    doc_id sharing its full-text md5 — the 'which row would survive' view
+    of CDStore's fingerprint-index dedup (identity mapping when a corpus
+    has no exact dups, so the operator is still exercised end-to-end)."""
+    w = Window.partitionBy(F.md5(F.col("text")))
+    return df.select("doc_id",
+                     F.md5(F.col("text")).alias("text_md5"),
+                     F.min("doc_id").over(w).alias("canonical_doc_id"))
 
 
 def dedup_exact(df: DataFrame) -> DataFrame:
