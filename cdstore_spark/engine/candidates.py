@@ -86,7 +86,10 @@ def candidate_pairs(feats: DataFrame, cfg: PipelineConfig = DEFAULT
                        F.sum(F.when(F.col("cnt") > cfg.bucket_soft, 1)
                              .otherwise(0)).alias("buckets_block_split")))
 
-    # layer 1: sub-bucket split (linear skew bound) — sub index + size
+    # layer 1: sub-bucket split (linear skew bound) — sub index + size.
+    # localCheckpoint: four downstream branches (triangle left/right, rep
+    # chain rep0/reps) would otherwise each recompute the 2-window ranking
+    # over the full band-row set
     kept = (ranked
             .where(F.col("cnt") > 1)
             .withColumn("sub", ((F.col("rn") - 1)
@@ -94,7 +97,8 @@ def candidate_pairs(feats: DataFrame, cfg: PipelineConfig = DEFAULT
             .withColumn("sub_rn", ((F.col("rn") - 1) % F.lit(cfg.bucket_cap)))
             .withColumn("sub_size",
                         F.least(F.col("cnt") - F.col("sub") * cfg.bucket_cap,
-                                F.lit(cfg.bucket_cap))))
+                                F.lit(cfg.bucket_cap)))
+            .localCheckpoint(eager=False))
 
     # layer 2: triangle block split within each sub-bucket
     blocked = (kept

@@ -42,12 +42,21 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     need = (cand.select(F.col("a").alias("clip_id"))
             .unionByName(cand.select(F.col("b").alias("clip_id")))
             .distinct())
-    fsub = feats.select(*_SIDE_COLS).join(need, "clip_id", "leftsemi")
+    fsub = (feats.select(*_SIDE_COLS)
+            .join(need, "clip_id", "leftsemi")
+            .localCheckpoint(eager=False))
 
-    fa = fsub.select(*[F.col(c).alias(f"{c}_a" if c != "clip_id" else "a")
-                       for c in _SIDE_COLS])
-    fb = fsub.select(*[F.col(c).alias(f"{c}_b" if c != "clip_id" else "b")
-                       for c in _SIDE_COLS])
+    # broadcast the candidate-universe features when they fit: the pair
+    # table (with its per-side event arrays) is the big side, and two
+    # broadcast joins keep it from shuffling at all. At production scale a
+    # larger universe falls back to shuffle hash joins automatically.
+    n_universe = fsub.count()
+    wrap = F.broadcast if n_universe <= 200_000 else (lambda df: df)
+
+    fa = wrap(fsub.select(*[F.col(c).alias(f"{c}_a" if c != "clip_id" else "a")
+                            for c in _SIDE_COLS]))
+    fb = wrap(fsub.select(*[F.col(c).alias(f"{c}_b" if c != "clip_id" else "b")
+                            for c in _SIDE_COLS]))
     joined = cand.join(fa, "a").join(fb, "b")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
