@@ -161,7 +161,7 @@ def main() -> None:
         # shared-host interference makes single samples wander +-40%
         # run-to-run; keep a history and also report the capability
         # estimate (per-level minimum across all recorded rounds)
-        hist_path = os.path.join(REPO, "data", "bench_history.jsonl")
+        hist_path = os.path.join(REPO, "bench_history.jsonl")
         os.makedirs(os.path.dirname(hist_path), exist_ok=True)
         with open(hist_path, "a") as f:
             f.write(json.dumps({"job": what,
@@ -222,7 +222,7 @@ def _write_bench_md(r: dict) -> None:
         "(b) shared-host interference moves identical runs by ±40% over "
         "tens of minutes, so alongside this run's samples the table "
         "reports the *capability* estimate — per-level minima across all "
-        "recorded rounds (data/bench_history.jsonl), i.e. the engine's "
+        "recorded rounds (bench_history.jsonl, committed), i.e. the engine's "
         "demonstrated throughput when the host is quiet.",
         "",
         "| job | " + " | ".join(f"wall local[{c}]" for c in SCALE_LEVELS)
