@@ -386,6 +386,15 @@ def _text_quality_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     _TEXT_QUALITY_SQL = _text_quality_sql()
+    # the audio oracles read frozen golden parquet by absolute path; if the
+    # (gitignored) cache was wiped, regenerate it deterministically now so
+    # the DuckDB side never sees a missing file regardless of whether the
+    # driver evaluates oracles before or after the Spark queries
+    try:
+        from cdstore_spark import golden as _g
+        _g.ensure_golden("correctness")
+    except Exception:
+        pass
     clips = _gold("audio_clips.parquet")
     pcm = _gold("expected_pcm_stats.parquet")
     candp = _gold("expected_candidates.parquet")
