@@ -336,6 +336,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.avg("o_totalprice"), 4).alias("avg_price")))
     q["orders_rollup"] = orders_rollup
 
+    def events_sessionization(spark, sf):
+        # gap-based sessionization (30-min inactivity): lag window + running
+        # sum of session-break flags — the batch formulation of streaming
+        # session windows (SURVEY.md §2.B rows 21/30)
+        from pyspark.sql import Window
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(
+            F.lag("ts").over(w))
+        brk = F.when(gap > 1800, 1).otherwise(0)
+        sess = (e.withColumn("brk", F.coalesce(brk, F.lit(0)))
+                .withColumn("session_id", F.sum("brk").over(w)))
+        return (sess.groupBy("user_id", "session_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.min("ts").alias("session_start"),
+                     F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                             .cast("double"), 2).alias("session_value")))
+    q["events_sessionization"] = events_sessionization
+
+    def lineitem_flag_pivot(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        month = F.date_trunc("month", "l_shipdate").alias("month")
+        def cnt(flag):
+            return F.sum(F.when(F.col("l_returnflag") == flag, 1)
+                         .otherwise(0)).alias(f"n_{flag}")
+        return li.groupBy(month).agg(cnt("R"), cnt("A"), cnt("N"))
+    q["lineitem_flag_pivot"] = lineitem_flag_pivot
+
     def customers_with_big_order(spark, sf):
         c = _t(spark, sf, "customer")
         o = _t(spark, sf, "orders")
@@ -591,4 +619,32 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
             WHERE EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
                             AND o_totalprice > 400000)""",
+        "events_sessionization": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                              (PARTITION BY user_id
+                               ORDER BY ts, event_id)) > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            sess AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS session_id
+              FROM flagged)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(ts) AS session_start,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS session_value
+            FROM sess GROUP BY user_id, session_id""",
+        "lineitem_flag_pivot": """
+            SELECT date_trunc('month', l_shipdate) AS month,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_R,
+                   CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_A,
+                   CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_N
+            FROM lineitem GROUP BY 1""",
     }
