@@ -145,19 +145,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (_audio_outputs(spark, sf)["skew_stats"]
                 .select("channel", "n_buckets", "max_bucket",
                         "subbucket_splits", "buckets_block_split"))
-    q["audio_skew_stats"] = audio_skew_stats  # rows-only (engine internals)
+    q["audio_skew_stats"] = audio_skew_stats
 
     def multimodal_binary_meta(spark, sf):
         return M.binary_meta(_clips(spark, sf))
     q["multimodal_binary_meta"] = multimodal_binary_meta
 
+    def _clip_subset(spark, sf):
+        # deterministic 200-clip subset (ids 0..199) — a limit() would pick
+        # whichever partitions answered first
+        from cdstore_spark import golden_funcs as GF
+        return _clips(spark, sf).where(
+            F.col("clip_id") < GF.CLIP_SUBSET_MAX)
+
     def audio_frame_features(spark, sf):
-        return M.frame_sample_audio(_clips(spark, sf).limit(200))
-    q["audio_frame_features"] = audio_frame_features  # rows-only
+        return M.frame_sample_audio(_clip_subset(spark, sf))
+    q["audio_frame_features"] = audio_frame_features
 
     def image_feature_stub(spark, sf):
-        return M.image_features(_clips(spark, sf).limit(200))
-    q["image_feature_stub"] = image_feature_stub  # rows-only (stubbed decode)
+        return M.image_feature_summary(_clip_subset(spark, sf))
+    q["image_feature_stub"] = image_feature_stub  # stubbed decode kernel
 
     # ---- documents: dedup + text analysis --------------------------------
     def dedup_exact_docs(spark, sf):
@@ -174,7 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_simhash_docs(spark, sf):
         return X.simhash_hamming_pairs(_docs(spark, sf))
-    q["dedup_simhash_docs"] = dedup_simhash_docs  # rows-only (sketch ids)
+    q["dedup_simhash_docs"] = dedup_simhash_docs
 
     def text_quality_docs(spark, sf):
         return X.quality_features(_docs(spark, sf))
@@ -182,7 +189,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def doc_fingerprints(spark, sf):
         return X.doc_fingerprints(_docs(spark, sf))
-    q["doc_fingerprints"] = doc_fingerprints  # rows-only
+    q["doc_fingerprints"] = doc_fingerprints
+
+    def lang_id_docs(spark, sf):
+        return X.lang_id(_docs(spark, sf))
+    q["lang_id_docs"] = lang_id_docs
 
     # ---- embeddings: similarity search ------------------------------------
     def _query_vec(spark, sf):
@@ -198,7 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_lsh_bucketed(spark, sf):
         return S.topk_lsh(_embs(spark, sf), _query_vec(spark, sf),
                           k=10, exclude_vec_id=0)
-    q["ann_lsh_bucketed"] = ann_lsh_bucketed  # rows-only (approximate)
+    q["ann_lsh_bucketed"] = ann_lsh_bucketed
 
     def embedding_centroids(spark, sf):
         return S.pairwise_label_centroids(_embs(spark, sf))
@@ -414,15 +425,23 @@ def _text_quality_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     _TEXT_QUALITY_SQL = _text_quality_sql()
-    # the audio oracles read frozen golden parquet by absolute path; if the
-    # (gitignored) cache was wiped, regenerate it deterministically now so
-    # the DuckDB side never sees a missing file regardless of whether the
-    # driver evaluates oracles before or after the Spark queries
+    # the audio/function oracles read frozen golden parquet by absolute
+    # path; if the (gitignored) cache was wiped, regenerate it
+    # deterministically now so the DuckDB side never sees a missing file
+    # regardless of whether the driver evaluates oracles before or after
+    # the Spark queries. Failures are printed, not swallowed — a golden
+    # regeneration error must be attributable at its root cause.
+    import traceback
     try:
         from cdstore_spark import golden as _g
+        from cdstore_spark import golden_funcs as _gf
         _g.ensure_golden("correctness")
+        _gf.ensure_func_golden()
     except Exception:
-        pass
+        print("GOLDEN REGENERATION FAILED — audio/function oracles "
+              "will reference missing parquet:")
+        traceback.print_exc()
+    from cdstore_spark import golden_funcs as GF
     clips = _gold("audio_clips.parquet")
     pcm = _gold("expected_pcm_stats.parquet")
     candp = _gold("expected_candidates.parquet")
@@ -484,6 +503,33 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
                        AS stored_bytes
             FROM read_parquet('{clips}') c
             JOIN read_parquet('{clus}') g USING (clip_id)""",
+        "audio_skew_stats": f"""
+            SELECT channel, n_buckets, max_bucket, subbucket_splits,
+                   buckets_block_split
+            FROM read_parquet('{GF.path("expected_skew_stats.parquet")}')""",
+        "audio_frame_features": f"""
+            SELECT clip_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+                   frame_rms, frame_peak
+            FROM read_parquet(
+                '{GF.path("expected_frame_features.parquet")}')""",
+        "image_feature_stub": f"""
+            SELECT clip_id, CAST(width AS INTEGER) AS width,
+                   CAST(height AS INTEGER) AS height, feature_md5,
+                   feature_mean
+            FROM read_parquet('{GF.path("expected_image_stub.parquet")}')""",
+        "dedup_simhash_docs": f"""
+            SELECT a, b, CAST(hamming AS INTEGER) AS hamming
+            FROM read_parquet(
+                '{GF.path("expected_simhash_pairs.parquet")}')""",
+        "doc_fingerprints": f"""
+            SELECT doc_id, fp
+            FROM read_parquet('{GF.path("expected_fingerprints.parquet")}')""",
+        "lang_id_docs": f"""
+            SELECT doc_id, lang_pred, lang_score
+            FROM read_parquet('{GF.path("expected_lang_id.parquet")}')""",
+        "ann_lsh_bucketed": f"""
+            SELECT vec_id, cos_sim
+            FROM read_parquet('{GF.path("expected_ann_lsh.parquet")}')""",
         "multimodal_binary_meta": f"""
             SELECT clip_id,
                    CAST(octet_length(bytes) AS BIGINT) AS n_bytes,

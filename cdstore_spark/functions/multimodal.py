@@ -57,6 +57,7 @@ def frame_sample_audio(df: DataFrame, frame_ms: int = 100) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels import codec as K_codec
+        from ..kernels import features as K_feat
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -66,15 +67,13 @@ def frame_sample_audio(df: DataFrame, frame_ms: int = 100) -> DataFrame:
             cids = pdf["clip_id"].to_numpy()
             for i, raw in enumerate(pdf["bytes"].to_numpy()):
                 x = K_codec.decode_float(raw, str(codecs[i]))
-                flen = max(1, int(srs[i]) * frame_ms // 1000)
-                nfr = x.shape[0] // flen
-                if nfr == 0:
+                rms, peak = K_feat.frame_rms_peak(x, int(srs[i]), frame_ms)
+                if rms.shape[0] == 0:
                     continue
-                fr = x[: nfr * flen].reshape(nfr, flen).astype(np.float64)
-                ids.extend([cids[i]] * nfr)
-                idxs.extend(range(nfr))
-                rmss.extend(np.sqrt((fr ** 2).mean(axis=1)).round(6))
-                peaks.extend(np.abs(fr).max(axis=1).round(6))
+                ids.extend([cids[i]] * rms.shape[0])
+                idxs.extend(range(rms.shape[0]))
+                rmss.extend(rms)
+                peaks.extend(peak)
             yield pd.DataFrame({"clip_id": ids, "frame_idx": idxs,
                                 "frame_rms": rmss, "frame_peak": peaks})
 
@@ -122,3 +121,37 @@ def image_features(df: DataFrame, id_col: str = "clip_id",
                                               "feature"])
 
     return df.select(id_col, bin_col).mapInPandas(fn, IMAGE_META_SCHEMA)
+
+
+IMAGE_SUMMARY_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("feature_md5", T.StringType()),
+    T.StructField("feature_mean", T.DoubleType()),
+])
+
+
+def image_feature_summary(df: DataFrame, id_col: str = "clip_id",
+                          bin_col: str = "bytes") -> DataFrame:
+    """Scalar projection of image_features for contract/oracle comparison
+    (array columns are summarized: md5 of the float32 feature bytes + the
+    6-dp mean), so the result is pure scalar columns end to end."""
+    import hashlib as _hl
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            recs = []
+            for cid, raw in zip(pdf[id_col].to_numpy(),
+                                pdf[bin_col].to_numpy()):
+                w, h, feat = decode_image_stub(bytes(raw))
+                f32 = np.ascontiguousarray(feat, dtype=np.float32)
+                recs.append((cid, w, h, _hl.md5(f32.tobytes()).hexdigest(),
+                             float(np.floor(f32.astype(np.float64).mean()
+                                            * 1e6 + 0.5) / 1e6)))
+            yield pd.DataFrame(recs, columns=["clip_id", "width", "height",
+                                              "feature_md5", "feature_mean"])
+
+    return df.select(id_col, bin_col).mapInPandas(fn, IMAGE_SUMMARY_SCHEMA)

@@ -230,40 +230,85 @@ _LANG_SCHEMA = T.StructType([
     T.StructField("lang_score", T.DoubleType()),
 ])
 
+LANG_PROFILE_TOPK = 64
 
-def lang_id(df: DataFrame, profiles: dict[str, list[str]] | None = None
-            ) -> DataFrame:
-    """Character-trigram language ID (vectorized batch heuristic).
 
-    Profiles default to the driver documents table's own lang values with
-    synthetic trigram profiles derived from each language's observed top
-    trigrams (built by tests); rows-only checked (no SQL equivalent).
-    """
+def lang_trigram_counts(df: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """Per-(lang, trigram-hash) document frequency — the distributed
+    profile-building aggregation (8-byte keys on the shuffle, partial
+    map-side combine via groupBy)."""
+    tri_schema = T.StructType([T.StructField("lang", T.StringType()),
+                               T.StructField("tri", T.LongType())])
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import text as K_text
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            texts = pdf["text"].astype(str).str.lower()
-            # score = stopword-hit ratio per candidate profile
-            best_lang, best_score = [], []
-            profs = profiles or {"en": list(STOPWORDS)}
-            for t in texts:
-                toks = set(t.split())
-                scores = {lg: len(toks & set(ws)) / max(len(ws), 1)
-                          for lg, ws in profs.items()}
-                lg = max(sorted(scores), key=lambda k: scores[k])
-                best_lang.append(lg)
-                best_score.append(float(scores[lg]))
+            langs, tris = [], []
+            lvals = pdf[lang_col].astype(str).to_numpy()
+            for i, t in enumerate(pdf["text"].astype(str).to_numpy()):
+                u = np.unique(K_text.char_trigram_hashes(t))
+                langs.extend([lvals[i]] * u.shape[0])
+                tris.append(u.view(np.int64))
+            yield pd.DataFrame({
+                "lang": langs,
+                "tri": (np.concatenate(tris) if tris
+                        else np.empty(0, np.int64))})
+
+    return (df.select(F.col(lang_col).alias(lang_col), "text")
+            .mapInPandas(fn, tri_schema)
+            .groupBy("lang", "tri")
+            .agg(F.count(F.lit(1)).alias("df_count")))
+
+
+def build_lang_profiles(df: DataFrame, lang_col: str = "lang",
+                        top_k: int = LANG_PROFILE_TOPK
+                        ) -> dict[str, np.ndarray]:
+    """Top-k trigram hashes per language by document frequency
+    (deterministic tie-break: df desc, tri asc). The profile table is tiny
+    (langs × top_k rows) so collecting it to the driver — where it ships to
+    scoring tasks as a broadcast closure — is the right plan at any scale."""
+    counts = lang_trigram_counts(df, lang_col)
+    w = Window.partitionBy("lang").orderBy(F.col("df_count").desc(),
+                                           F.col("tri").asc())
+    top = (counts.withColumn("rk", F.row_number().over(w))
+           .where(F.col("rk") <= top_k)
+           .select("lang", "tri").collect())
+    prof: dict[str, list[int]] = {}
+    for r in top:
+        prof.setdefault(r["lang"], []).append(r["tri"])
+    return {lg: np.sort(np.asarray(v, dtype=np.int64).view(np.uint64))
+            for lg, v in prof.items()}
+
+
+def lang_id(df: DataFrame, profiles: dict[str, np.ndarray] | None = None
+            ) -> DataFrame:
+    """Character-trigram language ID: score each document's distinct
+    trigram set against per-language top-k trigram profiles (kernels/
+    text.py::lang_scores — one vectorized searchsorted pass per language
+    per Arrow batch, no per-row Python). Profiles default to ones built
+    from the input's own `lang` column."""
+    profs = profiles if profiles is not None else build_lang_profiles(df)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import text as K_text
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            langs, scores = K_text.lang_scores(
+                pdf["text"].astype(str).to_numpy(), profs)
             yield pd.DataFrame({"doc_id": pdf["doc_id"].astype(np.int64),
-                                "lang_pred": best_lang,
-                                "lang_score": best_score})
+                                "lang_pred": langs,
+                                "lang_score": np.floor(scores * 1e6 + 0.5)
+                                / 1e6})
 
     return df.select("doc_id", "text").mapInPandas(fn, _LANG_SCHEMA)
 
 
 _FP_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
-    T.StructField("fingerprints", T.ArrayType(T.LongType())),
+    T.StructField("fp", T.LongType()),
 ])
 
 
@@ -272,28 +317,23 @@ def doc_fingerprints(df: DataFrame, window: int = 8, keep: int = 16
     """Winnowing-style document fingerprints: rolling hash over char
     4-grams, keep the `keep` smallest window minima (robust selection of
     representative substrings — the doc-level analog of CDStore's chunk
-    fingerprints). Rows-only checked."""
+    fingerprints). One output row per (doc_id, fp) — scalar columns, so
+    the result joins/aggregates like any fingerprint index table."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernels import hashing as H
+        from ..kernels import text as K_text
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            fps = []
-            for t in pdf["text"].astype(str).str.lower():
-                codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.int32)
-                if codes.shape[0] < 4:
-                    fps.append([])
-                    continue
-                wh = H.window_hashes(codes.astype(np.uint64), 4)
-                if wh.shape[0] >= window:
-                    view = np.lib.stride_tricks.sliding_window_view(wh, window)
-                    mins = np.unique(view.min(axis=1))
-                else:
-                    mins = np.unique(wh)
-                sel = np.sort(mins)[:keep]
-                fps.append(sel.view(np.int64).tolist())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype(np.int64),
-                                "fingerprints": fps})
+            ids, fps = [], []
+            dvals = pdf["doc_id"].to_numpy()
+            for i, t in enumerate(pdf["text"].astype(str).to_numpy()):
+                sel = K_text.winnow_fingerprints(t, window, keep)
+                ids.extend([int(dvals[i])] * sel.shape[0])
+                fps.append(sel)
+            yield pd.DataFrame({
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "fp": (np.concatenate(fps) if fps
+                       else np.empty(0, np.int64))})
 
     return df.select("doc_id", "text").mapInPandas(fn, _FP_SCHEMA)

@@ -1,0 +1,222 @@
+"""Frozen golden outputs for operators with no SQL-expressible oracle.
+
+Extends the golden-artifact pattern of golden.py (frozen single-node NumPy
+mirrors, read by DuckDB via read_parquet) to the training-data-pipeline
+operators that round 1 left rows-only checked: skew stats, frame features,
+the image-stub summary, SimHash pairs, winnowing fingerprints, language ID
+and the bucketed-ANN probe. Every mirror here calls the SAME shared kernels
+as the Spark operator (cdstore_spark/kernels), computed single-node over
+pandas — the contract row then proves distributed == single-node exactly,
+the same gate the audio pipeline uses.
+
+Artifacts live in data/func_correctness/ (gitignored, regenerated
+deterministically; marker _FUNC_GOLDEN_DONE.json carries a VERSION that is
+bumped whenever a mirrored operator's semantics change).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import golden, oracle
+from .config import DEFAULT, PipelineConfig
+
+VERSION = 2
+FUNC_DIR = os.path.join(golden.DATA_ROOT, "func_correctness")
+#: the driver grades at sf0.01 — goldens are frozen against that tier
+SF_DIR = "/root/testdata/sf0.01"
+#: deterministic clip subset used by the frame/image queries (ids 0..199)
+CLIP_SUBSET_MAX = "clip_00000200"
+
+
+def path(name: str) -> str:
+    return os.path.join(FUNC_DIR, name)
+
+
+def _write(pdf: pd.DataFrame, name: str) -> None:
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   path(name), row_group_size=4096)
+
+
+def _expected_skew_stats(clips: pd.DataFrame, cfg: PipelineConfig
+                         ) -> pd.DataFrame:
+    from .kernels.clipfeat import featurize_batch
+    parts = []
+    for s in range(0, len(clips), 512):
+        parts.append(featurize_batch(clips.iloc[s: s + 512], cfg))
+    feats = pd.concat(parts, ignore_index=True)
+    return oracle.skew_stats_from_feats(feats, cfg)
+
+
+def _expected_frame_features(clips: pd.DataFrame) -> pd.DataFrame:
+    from .kernels import codec as K_codec
+    from .kernels import features as K_feat
+    sub = clips[clips["clip_id"] < CLIP_SUBSET_MAX]
+    recs = []
+    for cid, raw, sr, codec in zip(sub["clip_id"], sub["bytes"],
+                                   sub["sr_hz"], sub["codec"]):
+        x = K_codec.decode_float(raw, str(codec))
+        rms, peak = K_feat.frame_rms_peak(x, int(sr), 100)
+        for k in range(rms.shape[0]):
+            recs.append((cid, k, float(rms[k]), float(peak[k])))
+    return pd.DataFrame(recs, columns=["clip_id", "frame_idx",
+                                       "frame_rms", "frame_peak"])
+
+
+def _expected_image_stub(clips: pd.DataFrame) -> pd.DataFrame:
+    from .functions.multimodal import decode_image_stub
+    sub = clips[clips["clip_id"] < CLIP_SUBSET_MAX]
+    recs = []
+    for cid, raw in zip(sub["clip_id"], sub["bytes"]):
+        w, h, feat = decode_image_stub(bytes(raw))
+        f32 = np.ascontiguousarray(feat, dtype=np.float32)
+        recs.append((cid, w, h, hashlib.md5(f32.tobytes()).hexdigest(),
+                     float(np.floor(f32.astype(np.float64).mean()
+                                    * 1e6 + 0.5) / 1e6)))
+    return pd.DataFrame(recs, columns=["clip_id", "width", "height",
+                                       "feature_md5", "feature_mean"])
+
+
+def _expected_simhash_pairs(docs: pd.DataFrame, cfg: PipelineConfig,
+                            max_bits: int = 8) -> pd.DataFrame:
+    from .kernels import sketch as K_sketch
+    from .kernels import text as K_text
+    sh = [K_text.ngram_shingles(str(t), cfg.text_ngram, short_tokens=0)
+          for t in docs["text"]]
+    offs = np.zeros(len(sh) + 1, dtype=np.int64)
+    np.cumsum([a.shape[0] for a in sh], out=offs[1:])
+    vals = (np.concatenate(sh) if sh else np.empty(0, np.uint64)
+            ).astype(np.uint64, copy=False)
+    sim = K_sketch.simhash_batch(vals, offs, cfg)
+    ids = docs["doc_id"].to_numpy()
+    # block into 4 x 16-bit keys; candidates collide in >= 1 block
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in range(len(docs)):
+        for k in range(4):
+            key = (k, int((sim[i] >> np.uint64(16 * k)) & np.uint64(0xFFFF)))
+            buckets.setdefault(key, []).append(i)
+    seen: set[tuple[int, int]] = set()
+    recs = []
+    for members in buckets.values():
+        for ii in range(len(members)):
+            for jj in range(ii + 1, len(members)):
+                x, y = members[ii], members[jj]
+                a, b = (ids[x], ids[y]) if ids[x] < ids[y] else (ids[y], ids[x])
+                if (a, b) in seen:
+                    continue
+                seen.add((a, b))
+                ham = int(bin(int(sim[x] ^ sim[y])).count("1"))
+                if ham <= max_bits:
+                    recs.append((int(a), int(b), ham))
+    return pd.DataFrame(recs, columns=["a", "b", "hamming"])
+
+
+def _expected_fingerprints(docs: pd.DataFrame) -> pd.DataFrame:
+    from .kernels import text as K_text
+    recs = []
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        for fp in K_text.winnow_fingerprints(str(t)):
+            recs.append((int(did), int(fp)))
+    return pd.DataFrame(recs, columns=["doc_id", "fp"])
+
+
+def _expected_lang_id(docs: pd.DataFrame) -> pd.DataFrame:
+    from .kernels import text as K_text
+    # profile build mirror: per-(lang, trigram) document frequency,
+    # top-k by (df desc, tri-as-int64 asc) — identical ordering to the
+    # Spark window in textops.build_lang_profiles
+    df_counts: dict[str, dict[int, int]] = {}
+    for lg, t in zip(docs["lang"], docs["text"]):
+        u = np.unique(K_text.char_trigram_hashes(str(t)))
+        d = df_counts.setdefault(str(lg), {})
+        for v in u.view(np.int64):
+            d[int(v)] = d.get(int(v), 0) + 1
+    from .functions.textops import LANG_PROFILE_TOPK
+    profiles = {}
+    for lg, d in df_counts.items():
+        top = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = top[:LANG_PROFILE_TOPK]
+        profiles[lg] = np.sort(np.asarray([k for k, _ in top],
+                                          dtype=np.int64).view(np.uint64))
+    langs, scores = K_text.lang_scores(docs["text"].astype(str).to_numpy(),
+                                       profiles)
+    return pd.DataFrame({"doc_id": docs["doc_id"].astype(np.int64),
+                         "lang_pred": langs,
+                         "lang_score": np.floor(np.asarray(scores) * 1e6
+                                                + 0.5) / 1e6})
+
+
+def _fold_dot(a: np.ndarray, b: np.ndarray) -> float:
+    """Sequential left-fold dot product — bit-identical to Spark's
+    F.aggregate(zip_with(...)) double arithmetic."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _expected_ann_lsh(embs: pd.DataFrame, k: int = 10) -> pd.DataFrame:
+    from .functions import simops
+    n_planes = 8
+    mat32 = np.stack(embs["embedding"].to_numpy()).astype(np.float32)
+    mat = mat32.astype(np.float64)
+    vec_ids = embs["vec_id"].to_numpy().astype(np.int64)
+    planes = simops.hyperplanes(n_planes, dim=mat.shape[1])
+    signs = (mat @ planes.T) > 0
+    bucket = (signs.astype(np.int32)
+              << np.arange(n_planes, dtype=np.int32)).sum(axis=1)
+    qi = int(np.flatnonzero(vec_ids == 0)[0])
+    qv = mat[qi]
+    qbucket = int(((qv @ planes.T) > 0).astype(np.int32)
+                  @ (1 << np.arange(n_planes)))
+    qnorm = np.sqrt(_fold_dot(qv, qv))
+    recs = []
+    for i in np.flatnonzero(bucket == qbucket):
+        if vec_ids[i] == 0:
+            continue
+        e = mat[i]
+        sim = _fold_dot(e, qv) / (np.sqrt(_fold_dot(e, e)) * qnorm)
+        recs.append((int(vec_ids[i]),
+                     float(np.floor(sim * 1e6 + 0.5) / 1e6)))
+    recs.sort(key=lambda r: (-r[1], r[0]))
+    return pd.DataFrame(recs[:k], columns=["vec_id", "cos_sim"])
+
+
+def ensure_func_golden(cfg: PipelineConfig = DEFAULT) -> str:
+    marker = os.path.join(FUNC_DIR, "_FUNC_GOLDEN_DONE.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f).get("version") == VERSION:
+                return FUNC_DIR
+    os.makedirs(FUNC_DIR, exist_ok=True)
+    golden.ensure_clips("correctness")
+    clips = pq.read_table(golden.clips_path("correctness")).to_pandas()
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet")
+                         ).to_pandas()
+    embs = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet")
+                         ).to_pandas()
+    _write(_expected_skew_stats(clips, cfg), "expected_skew_stats.parquet")
+    _write(_expected_frame_features(clips),
+           "expected_frame_features.parquet")
+    _write(_expected_image_stub(clips), "expected_image_stub.parquet")
+    _write(_expected_simhash_pairs(docs, cfg),
+           "expected_simhash_pairs.parquet")
+    _write(_expected_fingerprints(docs), "expected_fingerprints.parquet")
+    _write(_expected_lang_id(docs), "expected_lang_id.parquet")
+    _write(_expected_ann_lsh(embs), "expected_ann_lsh.parquet")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": VERSION, "sf_dir": SF_DIR}, f)
+    os.replace(tmp, marker)
+    return FUNC_DIR
+
+
+if __name__ == "__main__":
+    print(ensure_func_golden())

@@ -170,3 +170,17 @@ def audio_shingles(symbols: np.ndarray, cfg: PipelineConfig) -> np.ndarray:
     prefix = H.poly_prefix(mixed)
     inv = H.poly_inv_powers(symbols.shape[0] + 1)
     return H.span_hashes(prefix, inv, offs[:-1], offs[1:])
+
+
+def frame_rms_peak(x: np.ndarray, sr_hz: int, frame_ms: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed-frame RMS + peak of decoded PCM (rounded 6 dp) — the shared
+    kernel under frame-sampling feature extraction (Spark operator and
+    golden mirror call the same function)."""
+    flen = max(1, int(sr_hz) * frame_ms // 1000)
+    nfr = x.shape[0] // flen
+    if nfr == 0:
+        return np.empty(0, np.float64), np.empty(0, np.float64)
+    fr = x[: nfr * flen].reshape(nfr, flen).astype(np.float64)
+    return (np.sqrt((fr ** 2).mean(axis=1)).round(6),
+            np.abs(fr).max(axis=1).round(6))

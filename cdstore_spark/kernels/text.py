@@ -75,3 +75,66 @@ def char_codes(text: str) -> np.ndarray:
     """Normalized transcript as an int32 codepoint array (suffix-array input)."""
     s = normalize(text)
     return np.frombuffer(s.encode("utf-32-le"), dtype=np.int32) if s else np.empty(0, np.int32)
+
+
+def char_trigram_hashes(text: str) -> np.ndarray:
+    """Rolling hash of every 3-char window of the normalized text (uint64).
+
+    The shared primitive under both language-ID profile building and
+    scoring — Spark workers and the single-node golden mirror call this
+    exact function, so their trigram universes agree bit-for-bit.
+    """
+    codes = char_codes(text)
+    if codes.shape[0] < 3:
+        return np.empty(0, dtype=U64)
+    return H.window_hashes(codes.astype(U64), 3)
+
+
+def lang_scores(texts, profiles: dict[str, np.ndarray]
+                ) -> tuple[list[str], np.ndarray]:
+    """Vectorized language-ID scoring against per-language trigram profiles.
+
+    profiles: lang -> SORTED uint64 array of that language's top trigram
+    hashes. Score(doc, lang) = |doc's distinct trigrams ∩ profile| /
+    |doc's distinct trigrams| (0 when the doc has no trigrams). Winner =
+    max score, ties broken by lexicographic lang. One searchsorted pass
+    per language over the whole batch — no per-document Python in the
+    scoring loop.
+    """
+    tris = [np.unique(char_trigram_hashes(str(t))) for t in texts]
+    counts = np.array([a.shape[0] for a in tris], dtype=np.int64)
+    flat = np.concatenate(tris) if tris else np.empty(0, dtype=U64)
+    offs = np.zeros(len(tris) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    langs = sorted(profiles)
+    scores = np.zeros((len(tris), len(langs)), dtype=np.float64)
+    for j, lg in enumerate(langs):
+        prof = profiles[lg]
+        if prof.shape[0] == 0 or flat.shape[0] == 0:
+            continue
+        pos = np.searchsorted(prof, flat)
+        hit = (pos < prof.shape[0]) & (prof[np.minimum(pos, prof.shape[0] - 1)]
+                                       == flat)
+        hits_per_doc = np.add.reduceat(hit.astype(np.int64), offs[:-1]) \
+            if len(tris) else np.empty(0, np.int64)
+        hits_per_doc = np.where(counts > 0, hits_per_doc, 0)
+        scores[:, j] = hits_per_doc / np.maximum(counts, 1)
+    best = scores.argmax(axis=1) if langs else np.zeros(len(tris), np.int64)
+    return [langs[i] for i in best], scores[np.arange(len(tris)), best]
+
+
+def winnow_fingerprints(text: str, window: int = 8, keep: int = 16
+                        ) -> np.ndarray:
+    """Winnowing-style fingerprints: rolling hash over char 4-grams, the
+    `keep` smallest distinct window minima, as SORTED int64. Shared by the
+    Spark operator and the golden mirror."""
+    codes = np.frombuffer(text.lower().encode("utf-32-le"), dtype=np.int32)
+    if codes.shape[0] < 4:
+        return np.empty(0, dtype=np.int64)
+    wh = H.window_hashes(codes.astype(U64), 4)
+    if wh.shape[0] >= window:
+        view = np.lib.stride_tricks.sliding_window_view(wh, window)
+        mins = np.unique(view.min(axis=1))
+    else:
+        mins = np.unique(wh)
+    return np.sort(mins)[:keep].view(np.int64)

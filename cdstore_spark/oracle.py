@@ -74,6 +74,32 @@ def candidate_pairs_from_feats(feats: pd.DataFrame, cfg: PipelineConfig
              .sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def skew_stats_from_feats(feats: pd.DataFrame, cfg: PipelineConfig
+                          ) -> pd.DataFrame:
+    """Single-node mirror of engine/candidates.py's skew_stats aggregate:
+    per channel, the (band_idx, band_hash) bucket-size distribution over
+    clips with non-empty shingle sets (singleton buckets included)."""
+    recs = []
+    for ch, col in (("audio", "bands_audio"), ("text", "bands_text")):
+        n_sh = feats[f"n_shingles_{ch}"].to_numpy()
+        bands = np.stack(feats[col].to_numpy())
+        counts: dict[tuple[int, int], int] = defaultdict(int)
+        for i in range(len(feats)):
+            if n_sh[i] == 0:
+                continue
+            for band_idx in range(cfg.lsh_bands):
+                counts[(band_idx, int(bands[i, band_idx]))] += 1
+        sizes = np.asarray(list(counts.values()), dtype=np.int64)
+        recs.append((ch, int(sizes.shape[0]),
+                     int(sizes.max()) if sizes.shape[0] else 0,
+                     int(np.sum(np.ceil(sizes[sizes > cfg.bucket_cap]
+                                        / cfg.bucket_cap) - 1)),
+                     int(np.sum(sizes > cfg.bucket_soft))))
+    return pd.DataFrame(recs, columns=["channel", "n_buckets", "max_bucket",
+                                       "subbucket_splits",
+                                       "buckets_block_split"])
+
+
 def verify_pairs(feats: pd.DataFrame, cand: pd.DataFrame, clips: pd.DataFrame,
                  cfg: PipelineConfig) -> pd.DataFrame:
     """Suffix-array confirmation with the SimHash corroboration gate."""

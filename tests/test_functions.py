@@ -114,5 +114,44 @@ class TestTextops:
         from cdstore_spark.functions import textops as X
         docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
         fp = X.doc_fingerprints(docs).toPandas()
-        assert len(fp) == 20
-        assert all(len(v) <= 16 for v in fp["fingerprints"])
+        counts = fp.groupby("doc_id").size()
+        assert len(counts) == 20          # every doc emits >= 1 fingerprint
+        assert (counts <= 16).all()       # and at most `keep`
+        # fingerprints are content hashes: identical text → identical set
+        one = docs.limit(1).toPandas()
+        again = X.doc_fingerprints(
+            spark.createDataFrame(pd.concat([one, one.assign(doc_id=999)]))
+        ).toPandas()
+        sets = again.groupby("doc_id")["fp"].apply(set)
+        assert sets.iloc[0] == sets.iloc[1]
+
+    def test_lang_id_separates_languages(self, spark):
+        """Char-trigram profiles must separate corpora with genuinely
+        different character statistics (the driver documents table's lang
+        labels are random over one shared vocabulary, so separation is
+        demonstrated on synthetic multilingual text here)."""
+        from cdstore_spark.functions import textops as X
+        en = ["the quick brown fox jumps over the lazy dog near the river",
+              "a stitch in time saves nine and the early bird catches worms",
+              "every cloud has a silver lining when the rain finally stops"]
+        de = ["der schnelle braune fuchs springt ueber den faulen hund",
+              "wer zuletzt lacht lacht am besten und uebung macht den meister",
+              "aller anfang ist schwer doch ohne fleiss kein preis im leben"]
+        rows = ([(i, t, "en") for i, t in enumerate(en)]
+                + [(100 + i, t, "de") for i, t in enumerate(de)])
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = X.lang_id(df).toPandas().set_index("doc_id")
+        assert (out.loc[[0, 1, 2], "lang_pred"] == "en").all()
+        assert (out.loc[[100, 101, 102], "lang_pred"] == "de").all()
+        assert (out["lang_score"] > 0).all()
+
+    def test_lang_id_matches_golden_mirror(self, spark):
+        """Distributed profile build + scoring == the single-node mirror."""
+        from cdstore_spark import golden_funcs as GF
+        from cdstore_spark.functions import textops as X
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = (X.lang_id(docs).toPandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        exp = (GF._expected_lang_id(docs.toPandas())
+               .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp)
