@@ -195,6 +195,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return X.lang_id(_docs(spark, sf))
     q["lang_id_docs"] = lang_id_docs
 
+    def gram_df_stats_docs(spark, sf):
+        return X.gram_df_stats(_docs(spark, sf))
+    q["gram_df_stats_docs"] = gram_df_stats_docs
+
     # ---- embeddings: similarity search ------------------------------------
     def _query_vec(spark, sf):
         row = (_embs(spark, sf).where(F.col("vec_id") == 0)
@@ -546,6 +550,22 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
             FROM documents""",
         "dedup_jaccard_docs": grams_cte,
         "dedup_minhash_lsh_docs": grams_cte,
+        "gram_df_stats_docs": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+              FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+              WHERE len(t) >= 3
+            ), dfreq AS (
+              SELECT gram, count(*) AS gdf FROM grams GROUP BY 1
+            )
+            SELECT count(*) AS n_grams, max(gdf) AS max_df,
+                   CAST(sum(CASE WHEN gdf > 32 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hot_grams,
+                   CAST(sum(gdf) AS BIGINT) AS n_gram_postings
+            FROM dfreq""",
         "text_quality_docs": _TEXT_QUALITY_SQL,
 
         # ---- embeddings ----

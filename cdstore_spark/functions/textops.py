@@ -46,6 +46,21 @@ def doc_ngrams(df: DataFrame, n: int = NGRAM) -> DataFrame:
             .distinct())
 
 
+def _gram_hashed(df: DataFrame, n: int = NGRAM) -> DataFrame:
+    """(doc_id, gh) distinct hashed word n-grams. Grams are hashed BEFORE
+    the distinct so the dedup shuffle moves 16-byte (doc_id, gh) rows, not
+    raw n-gram strings — at corpus scale the string payload dominates the
+    exchange otherwise."""
+    t = _tokens(df).where(F.size("toks") >= n)
+    gram = F.concat_ws(" ", *[F.element_at("toks", F.col("i") + 1 + k)
+                              for k in range(n)])
+    return (t.select("doc_id", "toks",
+                     F.explode(F.sequence(F.lit(0), F.size("toks") - n))
+                     .alias("i"))
+            .select("doc_id", F.xxhash64(gram).alias("gh"))
+            .distinct())
+
+
 def dedup_exact_canonical(df: DataFrame) -> DataFrame:
     """Exact-dedup canonical mapping: every doc annotated with the minimum
     doc_id sharing its full-text md5 — the 'which row would survive' view
@@ -67,23 +82,22 @@ def dedup_exact(df: DataFrame) -> DataFrame:
             .where(F.col("n_docs") > 1))
 
 
-def _gram_hashed(df: DataFrame) -> DataFrame:
-    return doc_ngrams(df).select("doc_id",
-                                 F.xxhash64("gram").alias("gh"))
+def _pair_jaccard(cand: DataFrame, g: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given candidate pairs.
 
-
-def jaccard_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD
-                  ) -> DataFrame:
-    """Exact n-gram Jaccard >= threshold pairs via gram-hash equi-join.
-
-    (a, b, jaccard) with a < b; jaccard rounded to 6 dp for stable compare.
+    cand(a, b) routes each pair through the doc-keyed gram table twice
+    (equi-joins on doc id, then on gram hash), so work is linear in
+    |cand| x grams-per-doc — never in the all-pairs gram join. This is
+    the shared verification tail of both the prefix-filtered exact path
+    and the MinHash-LSH path.
     """
-    g = _gram_hashed(df)
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (g.alias("l").join(g.alias("r"), F.col("l.gh") == F.col("r.gh"))
-             .where(F.col("l.doc_id") < F.col("r.doc_id"))
-             .groupBy(F.col("l.doc_id").alias("a"),
-                      F.col("r.doc_id").alias("b"))
+    ga = g.select(F.col("doc_id").alias("a"), "gh")
+    gb = g.select(F.col("doc_id").alias("b"), "gh")
+    inter = (cand.join(ga, "a")
+             .join(gb, ["b", "gh"])
+             .groupBy("a", "b")
              .agg(F.count(F.lit(1)).alias("inter")))
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
@@ -94,6 +108,67 @@ def jaccard_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD
             .select("a", "b",
                     (F.floor(raw_j * F.lit(1e6) + F.lit(0.5))
                      / F.lit(1e6)).alias("jaccard")))
+
+
+def prefix_candidates(g: DataFrame, threshold: float = JACCARD_THRESHOLD
+                      ) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered candidate pairs (Bayardo et al.,
+    WWW'07): order every doc's grams by (global document frequency asc,
+    hash asc) — one shared total order — and keep only the first
+    sz - ceil(t*sz) + 1 grams per doc. Two docs with Jaccard >= t MUST
+    collide within these prefixes, so the equi-join touches only each
+    doc's RAREST ~ (1-t) fraction of grams; hot grams (huge df) sort to
+    the back and never enter the shuffle unless a doc is too small to
+    skip them. This is the skew bound for the document gram join — the
+    analog of the audio path's sub-bucket split, but lossless."""
+    dfreq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("gdf"))
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("gdf").asc(),
+                                             F.col("gh").asc())
+    prefix = (g.join(dfreq, "gh")
+              .join(sizes, "doc_id")
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= F.col("sz")
+                     - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+              .select("doc_id", "gh"))
+    return (prefix.alias("l")
+            .join(prefix.alias("r"), F.col("l.gh") == F.col("r.gh"))
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("a"),
+                    F.col("r.doc_id").alias("b"))
+            .distinct())
+
+
+def jaccard_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD
+                  ) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold pairs: prefix-filtered candidates,
+    then exact Jaccard on candidates only — identical output to the naive
+    all-grams self-join (prefix filtering is lossless), without its
+    hot-gram shuffle explosion.
+
+    (a, b, jaccard) with a < b; jaccard rounded to 6 dp for stable compare.
+    """
+    # the gram table feeds dfreq, sizes, the prefix join AND the pair
+    # verification — checkpoint it once instead of re-tokenizing the corpus
+    # in every branch
+    g = _gram_hashed(df).localCheckpoint(eager=False)
+    return _pair_jaccard(prefix_candidates(g, threshold), g, threshold)
+
+
+def gram_df_stats(df: DataFrame, hot_df: int = 32) -> DataFrame:
+    """Gram document-frequency skew profile — the text-channel analog of
+    audio_skew_stats: how many distinct grams, how hot the hottest key is,
+    and how many grams exceed the hot threshold (i.e. would dominate a
+    naive gram self-join's shuffle; the prefix filter keeps them out)."""
+    g = _gram_hashed(df)
+    dfreq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("gdf"))
+    zero = F.lit(0).cast("long")
+    return dfreq.agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.coalesce(F.max("gdf"), zero).alias("max_df"),
+        F.coalesce(F.sum(F.when(F.col("gdf") > hot_df, 1).otherwise(0)),
+                   zero).alias("n_hot_grams"),
+        F.coalesce(F.sum("gdf"), zero).alias("n_gram_postings"))
 
 
 _SIG_SCHEMA = T.StructType([
@@ -152,8 +227,10 @@ def minhash_lsh_pairs(df: DataFrame, cfg: PipelineConfig = DEFAULT,
             .select(F.col("l.doc_id").alias("a"),
                     F.col("r.doc_id").alias("b"))
             .distinct())
-    exact = jaccard_pairs(df, threshold)
-    return exact.join(cand, ["a", "b"], "leftsemi")
+    # exact Jaccard ONLY on the band-collision survivors (round 1 computed
+    # the full exact join and semi-joined after — LSH was pure overhead)
+    return _pair_jaccard(cand, _gram_hashed(df).localCheckpoint(eager=False),
+                         threshold)
 
 
 def simhash_hamming_pairs(df: DataFrame, cfg: PipelineConfig = DEFAULT,

@@ -125,6 +125,32 @@ class TestTextops:
         sets = again.groupby("doc_id")["fp"].apply(set)
         assert sets.iloc[0] == sets.iloc[1]
 
+    def test_prefix_filter_bounds_hot_gram_join(self, spark):
+        """Planted hot-gram corpus: every doc shares one trigram but the
+        docs are otherwise dissimilar. A naive gram self-join produces
+        O(m^2) rows on the hot key; the prefix filter must generate ZERO
+        candidates (the hot gram sorts to the back of every doc's df-
+        ordered gram list and never enters the join), while a planted
+        true near-dup pair must still survive."""
+        from cdstore_spark.functions import textops as X
+        m = 120
+        rows = [(i, "alpha beta gamma " + " ".join(
+            f"tok{i}x{j}" for j in range(18)), "en", "s", 0)
+            for i in range(m)]
+        # planted near-dup: doc 900/901 differ by one trailing token
+        base = " ".join(f"dup{j}" for j in range(30))
+        rows += [(900, base + " endone", "en", "s", 0),
+                 (901, base + " endtwo", "en", "s", 0)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+                  " n_chars long")
+        g = X._gram_hashed(df)
+        cand = X.prefix_candidates(g).toPandas()
+        assert len(cand) == 1
+        assert tuple(cand.iloc[0][["a", "b"]]) == (900, 901)
+        pairs = X.jaccard_pairs(df).toPandas()
+        assert set(map(tuple, pairs[["a", "b"]].values)) == {(900, 901)}
+
     def test_lang_id_separates_languages(self, spark):
         """Char-trigram profiles must separate corpora with genuinely
         different character statistics (the driver documents table's lang
