@@ -76,7 +76,11 @@ def candidate_pairs(feats: DataFrame, cfg: PipelineConfig = DEFAULT
               .withColumn("rn", F.row_number().over(w_rank))
               .withColumn("cnt", F.count(F.lit(1)).over(w_all)))
 
-    skew_stats = (ranked.where(F.col("rn") == 1)
+    # skew stats need per-bucket sizes only — a two-level hash aggregation
+    # (map-side partial combine, no window sort, no row ranking), so
+    # evaluating it never re-runs the pair path's double-window
+    bucket_sizes = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("cnt"))
+    skew_stats = (bucket_sizes
                   .groupBy("channel")
                   .agg(F.count(F.lit(1)).alias("n_buckets"),
                        F.max("cnt").alias("max_bucket"),

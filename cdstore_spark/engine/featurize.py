@@ -32,9 +32,12 @@ CLIP_SCHEMA = T.StructType([
 FEATURE_SCHEMA = T.StructType([
     T.StructField("clip_id", T.StringType()),
     T.StructField("n_events", T.IntegerType()),
-    T.StructField("events", T.ArrayType(T.IntegerType())),
-    T.StructField("event_ms", T.ArrayType(T.FloatType())),
-    T.StructField("event_zcr", T.ArrayType(T.FloatType())),
+    # events + event_ms + event_zcr packed into ONE binary blob
+    # (kernels/clipfeat.py::pack_events): three ListType columns cost far
+    # more on the Arrow boundary (per-row offsets + Python list
+    # materialization) than a single BinaryType column of the same bytes —
+    # verify unpacks with zero-copy np.frombuffer
+    T.StructField("vpack", T.BinaryType()),
     T.StructField("n_shingles_audio", T.IntegerType()),
     T.StructField("n_shingles_text", T.IntegerType()),
     # NOTE: the full 128-slot MinHash signatures are deliberately NOT in
@@ -75,12 +78,23 @@ def featurize(clips: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = featurize_batch(pdf, cfg, with_pcm_stats=True)
-            out = out.drop(columns=["sig_audio", "sig_text"])
-            out["transcript"] = pdf["transcript"].astype(str).to_numpy()
-            yield out
+            yield _engine_frame(featurize_batch(pdf, cfg,
+                                                with_pcm_stats=True), pdf)
 
     return clips.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def _engine_frame(out: pd.DataFrame, src: pd.DataFrame) -> pd.DataFrame:
+    """Kernel output → engine feature row: event arrays packed to vpack,
+    signatures dropped (bands carry everything downstream needs)."""
+    from ..kernels.clipfeat import pack_events
+    out["vpack"] = [
+        pack_events(ev, ms, zc) for ev, ms, zc in
+        zip(out["events"], out["event_ms"], out["event_zcr"])]
+    out = out.drop(columns=["sig_audio", "sig_text",
+                            "events", "event_ms", "event_zcr"])
+    out["transcript"] = src["transcript"].astype(str).to_numpy()
+    return out
 
 
 def parquet_row_groups(spark: SparkSession, path: str) -> list[tuple[str, int]]:
@@ -141,9 +155,8 @@ def featurize_from_parquet(spark: SparkSession, path: str,
                 cpdf = tbl.to_pandas()
                 if len(cpdf) == 0:
                     continue
-                out = featurize_batch(cpdf, cfg, with_pcm_stats=True)
-                out = out.drop(columns=["sig_audio", "sig_text"])
-                out["transcript"] = cpdf["transcript"].astype(str).to_numpy()
-                yield out
+                yield _engine_frame(featurize_batch(cpdf, cfg,
+                                                    with_pcm_stats=True),
+                                    cpdf)
 
     return unit_df.mapInPandas(fn, FEATURE_SCHEMA)

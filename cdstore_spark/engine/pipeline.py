@@ -8,6 +8,9 @@ invoke on a real cluster; entry()/queries() in __spark_entry__.py call it
 
 from __future__ import annotations
 
+import dataclasses
+import hashlib
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +23,22 @@ from . import featurize as S_feat
 from . import verify as S_verify
 from .snapshot import StageCheckpoint, chunk_filter
 
+#: bump when a stage's on-disk schema or semantics change — invalidates
+#: every existing snapshot chunk via the stage fingerprint
+ENGINE_LAYOUT_VERSION = 2
+
+
+def stage_fingerprint(cfg: PipelineConfig, n_chunks: int,
+                      clips_path: str) -> str:
+    """Identity of a pipeline computation: config + chunking + input +
+    layout version. Stored in every snapshot manifest entry; a mismatch
+    forces recomputation instead of serving stale chunks."""
+    blob = json.dumps({
+        "cfg": dataclasses.asdict(cfg), "n_chunks": n_chunks,
+        "input": os.path.abspath(clips_path),
+        "layout": ENGINE_LAYOUT_VERSION}, sort_keys=True)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
 
 def run_pipeline(spark: SparkSession, clips_path: str, workdir: str,
                  cfg: PipelineConfig = DEFAULT, n_chunks: int = 4) -> dict:
@@ -31,8 +50,9 @@ def run_pipeline(spark: SparkSession, clips_path: str, workdir: str,
     snapshots, so a resume replays only what is missing.
     """
     clips = S_feat.load_clips(spark, clips_path)
+    fp = stage_fingerprint(cfg, n_chunks, clips_path)
 
-    ck_feat = StageCheckpoint(workdir, "s2_features", n_chunks)
+    ck_feat = StageCheckpoint(workdir, "s2_features", n_chunks, fp)
     # payload-local featurize: chunk membership = row-group index mod
     # n_chunks (deterministic, shuffle-free, resume-aligned)
     feats = ck_feat.run(
@@ -43,19 +63,29 @@ def run_pipeline(spark: SparkSession, clips_path: str, workdir: str,
         hash_cols_for_lineage=["clip_id", "simhash_audio", "simhash_text",
                                "n_events", "pcm_sha256"])
 
-    ck_cand = StageCheckpoint(workdir, "s6_candidates", 1)
+    # ONE candidate_pairs invocation: the pair set and the skew stats are
+    # both checkpointed from the same plan (which shares one cached band
+    # ranking), so the expensive double-window runs once per pipeline run
+    pairs_plan, skew_plan = S_cand.candidate_pairs(feats, cfg)
+
+    ck_cand = StageCheckpoint(workdir, "s6_candidates", 1, fp)
     cand = ck_cand.run(
-        spark, lambda _i: S_cand.candidate_pairs(feats, cfg)[0],
+        spark, lambda _i: pairs_plan,
         hash_cols_for_lineage=["a", "b"])
 
-    ck_ver = StageCheckpoint(workdir, "s7_confirmed", n_chunks)
+    ck_skew = StageCheckpoint(workdir, "s6_skew_stats", 1, fp)
+    skew_stats = ck_skew.run(
+        spark, lambda _i: skew_plan,
+        hash_cols_for_lineage=["channel", "n_buckets", "max_bucket"])
+
+    ck_ver = StageCheckpoint(workdir, "s7_confirmed", n_chunks, fp)
     confirmed = ck_ver.run(
         spark,
         lambda i: S_verify.verify_candidates(
             cand.where(chunk_filter("a", n_chunks, i)), feats, cfg),
         hash_cols_for_lineage=["a", "b", "audio_ok", "text_ok"])
 
-    ck_clust = StageCheckpoint(workdir, "s8_clusters", 1)
+    ck_clust = StageCheckpoint(workdir, "s8_clusters", 1, fp)
     clusters = ck_clust.run(
         spark,
         lambda _i: S_clust.connected_components(
@@ -63,8 +93,7 @@ def run_pipeline(spark: SparkSession, clips_path: str, workdir: str,
         hash_cols_for_lineage=["clip_id", "cluster_id"])
 
     lineage = {ck.stage: ck.lineage()
-               for ck in (ck_feat, ck_cand, ck_ver, ck_clust)}
-    skew_stats = S_cand.candidate_pairs(feats, cfg)[1]
+               for ck in (ck_feat, ck_cand, ck_skew, ck_ver, ck_clust)}
     return {"clips": clips, "feats": feats, "candidates": cand,
             "confirmed": confirmed, "clusters": clusters,
             "lineage": lineage, "skew_stats": skew_stats}

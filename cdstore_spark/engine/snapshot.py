@@ -39,20 +39,37 @@ def _atomic_write_json(path: str, obj: dict) -> None:
 
 
 class StageCheckpoint:
-    """Chunked, manifest-tracked materialization of one pipeline stage."""
+    """Chunked, manifest-tracked materialization of one pipeline stage.
 
-    def __init__(self, workdir: str, stage: str, n_chunks: int = 4) -> None:
+    `fingerprint` identifies the computation that produced a chunk (config
+    fields + chunk count + input identity + engine layout version — see
+    pipeline.stage_fingerprint). A manifest entry recorded under a
+    DIFFERENT fingerprint is treated as missing and its chunk is
+    recomputed — resuming a workdir after a config/layout/input change can
+    therefore never serve stale or schema-incompatible chunks.
+    """
+
+    def __init__(self, workdir: str, stage: str, n_chunks: int = 4,
+                 fingerprint: str = "") -> None:
         self.stage = stage
         self.dir = os.path.join(workdir, stage)
         self.manifest_dir = os.path.join(self.dir, "_manifest")
         self.n_chunks = n_chunks
+        self.fingerprint = fingerprint
         os.makedirs(self.manifest_dir, exist_ok=True)
 
     def _entry_path(self, chunk: int) -> str:
         return os.path.join(self.manifest_dir, f"chunk-{chunk:05d}.json")
 
     def chunk_done(self, chunk: int) -> bool:
-        return os.path.exists(self._entry_path(chunk))
+        p = self._entry_path(chunk)
+        if not os.path.exists(p):
+            return False
+        try:
+            with open(p) as f:
+                return json.load(f).get("fingerprint", "") == self.fingerprint
+        except (json.JSONDecodeError, OSError):
+            return False
 
     def completed_chunks(self) -> list[int]:
         return sorted(c for c in range(self.n_chunks) if self.chunk_done(c))
@@ -87,13 +104,17 @@ class StageCheckpoint:
                        + "))").alias("value_hash")).collect()[0]
             _atomic_write_json(self._entry_path(i), {
                 "stage": self.stage, "chunk": i,
+                "fingerprint": self.fingerprint,
                 "rows": agg["rows"], "value_hash": str(agg["value_hash"]),
                 "partitions": per_part,
                 "wall_ms": int(1000 * (time.time() - t0)),
             })
             recomputed += 1
         self.last_recomputed_chunks = recomputed
-        return spark.read.parquet(self.dir).drop("_part")
+        # drop the lineage partition id AND the 'chunk' column that
+        # partition discovery injects from the chunk=<i> directory layout —
+        # the returned schema must be exactly the stage's declared schema
+        return spark.read.parquet(self.dir).drop("_part", "chunk")
 
     def lineage(self) -> list[dict]:
         out = []

@@ -32,8 +32,12 @@ VERIFY_SCHEMA = T.StructType([
     T.StructField("span_chars", T.IntegerType()),
 ])
 
-_SIDE_COLS = ["clip_id", "events", "event_ms", "event_zcr",
+_SIDE_COLS = ["clip_id", "vpack",
               "simhash_audio", "simhash_text", "transcript"]
+
+#: per-side broadcast budget: two broadcasts of the candidate-universe
+#: features must stay well under executor memory on a real cluster
+_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
 
 def verify_candidates(cand: DataFrame, feats: DataFrame,
@@ -47,11 +51,16 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
             .localCheckpoint(eager=False))
 
     # broadcast the candidate-universe features when they fit: the pair
-    # table (with its per-side event arrays) is the big side, and two
-    # broadcast joins keep it from shuffling at all. At production scale a
-    # larger universe falls back to shuffle hash joins automatically.
-    n_universe = fsub.count()
-    wrap = F.broadcast if n_universe <= 200_000 else (lambda df: df)
+    # table (with its per-side event blobs) is the big side, and two
+    # broadcast joins keep it from shuffling at all. The gate is a BYTE
+    # estimate of the dominant payload columns, not a row count — 200k
+    # rows of multi-KB event streams would blow past executor memory long
+    # before a row-count threshold noticed.
+    est = fsub.agg(
+        (F.sum(F.octet_length("vpack"))
+         + F.sum(F.octet_length("transcript"))).alias("bytes")).collect()[0]
+    wrap = (F.broadcast if (est["bytes"] or 0) <= _BROADCAST_MAX_BYTES
+            else (lambda df: df))
 
     fa = wrap(fsub.select(*[F.col(c).alias(f"{c}_a" if c != "clip_id" else "a")
                             for c in _SIDE_COLS]))
@@ -60,7 +69,7 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     joined = cand.join(fa, "a").join(fb, "b")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernels.clipfeat import verify_pair
+        from ..kernels.clipfeat import unpack_events, verify_pair
         from ..kernels.sketch import hamming64
         for pdf in batches:
             if len(pdf) == 0:
@@ -74,22 +83,17 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
             try_audio = pdf["from_audio"].to_numpy() | (ham_a <= cfg.simhash_gate_bits)
             try_text = pdf["from_text"].to_numpy() | (ham_t <= cfg.simhash_gate_bits)
             recs = []
-            ev_a = pdf["events_a"].to_numpy()
-            ms_a = pdf["event_ms_a"].to_numpy()
-            zc_a = pdf["event_zcr_a"].to_numpy()
-            ev_b = pdf["events_b"].to_numpy()
-            zc_b = pdf["event_zcr_b"].to_numpy()
+            vp_a = pdf["vpack_a"].to_numpy()
+            vp_b = pdf["vpack_b"].to_numpy()
             tx_a = pdf["transcript_a"].to_numpy()
             tx_b = pdf["transcript_b"].to_numpy()
             aa = pdf["a"].to_numpy()
             bb = pdf["b"].to_numpy()
             for i in range(len(pdf)):
+                ev_a, ms_a, zc_a = unpack_events(vp_a[i])
+                ev_b, _, zc_b = unpack_events(vp_b[i])
                 audio_ok, text_ok, span_ms, nchars = verify_pair(
-                    np.asarray(ev_a[i], dtype=np.int64),
-                    np.asarray(ms_a[i], dtype=np.float32),
-                    np.asarray(zc_a[i], dtype=np.float32),
-                    np.asarray(ev_b[i], dtype=np.int64),
-                    np.asarray(zc_b[i], dtype=np.float32),
+                    ev_a, ms_a, zc_a, ev_b, zc_b,
                     str(tx_a[i]), str(tx_b[i]), cfg,
                     bool(try_audio[i]), bool(try_text[i]))
                 if audio_ok or text_ok:

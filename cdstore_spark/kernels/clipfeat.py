@@ -103,6 +103,30 @@ def featurize_batch(pdf: pd.DataFrame, cfg: PipelineConfig,
     return out
 
 
+def pack_events(ev: np.ndarray, ms: np.ndarray, zcr: np.ndarray) -> bytes:
+    """Pack (events int32, event_ms float32, event_zcr float32) into one
+    little-endian binary blob: count + three contiguous sections.
+
+    One BinaryType column crosses the JVM↔Python Arrow boundary an order
+    of magnitude cheaper than three ListType columns (no per-row offset
+    vectors, no per-row Python list materialization) — this is the verify
+    stage's transfer format for per-clip event streams.
+    """
+    return (np.int32(ev.shape[0]).tobytes()
+            + ev.astype("<i4", copy=False).tobytes()
+            + ms.astype("<f4", copy=False).tobytes()
+            + zcr.astype("<f4", copy=False).tobytes())
+
+
+def unpack_events(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of pack_events → (events int64, ms float32, zcr float32)."""
+    n = int(np.frombuffer(buf, dtype="<i4", count=1)[0])
+    ev = np.frombuffer(buf, dtype="<i4", count=n, offset=4).astype(np.int64)
+    ms = np.frombuffer(buf, dtype="<f4", count=n, offset=4 + 4 * n)
+    zcr = np.frombuffer(buf, dtype="<f4", count=n, offset=4 + 8 * n)
+    return ev, ms, zcr
+
+
 def verify_pair(ev_a: np.ndarray, ms_a: np.ndarray, zcr_a: np.ndarray,
                 ev_b: np.ndarray, zcr_b: np.ndarray,
                 txt_a: str, txt_b: str, cfg: PipelineConfig,

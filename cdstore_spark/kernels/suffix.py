@@ -119,8 +119,13 @@ def lcp_array_hashed(tokens: np.ndarray, sa: np.ndarray) -> np.ndarray:
     return lcp
 
 
-def longest_common_run(a: np.ndarray, b: np.ndarray) -> tuple[int, int, int]:
-    """Longest common substring of two integer token sequences.
+def longest_common_run_sa(a: np.ndarray, b: np.ndarray
+                          ) -> tuple[int, int, int]:
+    """Longest common substring via suffix array + LCP over the separated
+    concatenation — the textbook construction. Kept as the cross-check
+    reference for longest_common_run (tests assert equal lengths); the
+    hot path uses the hashed binary search below, which does the same job
+    in ~6 vector ops per round instead of a prefix-doubling sort cascade.
 
     Returns (length, start_in_a, start_in_b); (0, -1, -1) when none.
     """
@@ -144,3 +149,54 @@ def longest_common_run(a: np.ndarray, b: np.ndarray) -> tuple[int, int, int]:
     p1, p2 = int(sa[best_i - 1]), int(sa[best_i])
     pa, pb = (p1, p2) if p1 < na else (p2, p1)
     return length, pa, pb - na - 1
+
+
+def longest_common_run(a: np.ndarray, b: np.ndarray) -> tuple[int, int, int]:
+    """Longest common substring of two integer token sequences, via binary
+    search on the run length with O(1) shift-invariant span hashes: a
+    common run of length L exists iff some length-L window hash of `a`
+    appears among `b`'s length-L window hashes, and existence is monotone
+    in L. Each probe is a handful of whole-array NumPy ops (two hash
+    slices, one sort, one searchsorted) — ~4x cheaper than the suffix-
+    array construction on the few-hundred-token sequences the verify
+    stage feeds it, which matters at 743k candidate pairs per 100k clips.
+
+    Equal span hashes stand in for equal content (64-bit polynomial —
+    same collision model lcp_array_hashed already accepts). Returns
+    (length, start_in_a, start_in_b) with the FIRST qualifying start in
+    `a` (and the first match of that window in `b`); (0, -1, -1) when no
+    common token exists.
+    """
+    from . import hashing as H
+
+    na, nb = a.shape[0], b.shape[0]
+    if na == 0 or nb == 0:
+        return 0, -1, -1
+    pref_a = H.poly_prefix(H.mix64(a.astype(np.uint64)))
+    pref_b = H.poly_prefix(H.mix64(b.astype(np.uint64)))
+    inv = H.poly_inv_powers(max(na, nb) + 1)
+
+    def win(prefix: np.ndarray, m: int, length: int) -> np.ndarray:
+        s = np.arange(m - length + 1, dtype=np.int64)
+        return (prefix[s + length] - prefix[s]) * inv[s]
+
+    def match_mask(length: int) -> np.ndarray:
+        wa = win(pref_a, na, length)
+        wb = np.sort(win(pref_b, nb, length))
+        pos = np.searchsorted(wb, wa)
+        return (pos < wb.shape[0]) & (wb[np.minimum(pos, wb.shape[0] - 1)]
+                                      == wa)
+
+    lo, hi = 0, min(na, nb)
+    while lo < hi:
+        mid = (lo + hi + 1) >> 1
+        if match_mask(mid).any():
+            lo = mid
+        else:
+            hi = mid - 1
+    if lo == 0:
+        return 0, -1, -1
+    pa = int(np.flatnonzero(match_mask(lo))[0])
+    target = win(pref_a, na, lo)[pa]
+    pb = int(np.flatnonzero(win(pref_b, nb, lo) == target)[0])
+    return int(lo), pa, pb

@@ -61,6 +61,19 @@ class TestHashing:
 
 
 class TestSuffix:
+    def test_hashed_lcs_matches_suffix_array(self):
+        """The hot-path binary-search LCS must agree with the suffix-array
+        construction on length, and return a genuine common run."""
+        rng = np.random.default_rng(7)
+        for _ in range(200):
+            a = rng.integers(0, 6, rng.integers(0, 120))
+            b = rng.integers(0, 6, rng.integers(0, 120))
+            L, pa, pb = suffix.longest_common_run(a, b)
+            L_sa, _, _ = suffix.longest_common_run_sa(a, b)
+            assert L == L_sa
+            if L:
+                assert np.array_equal(a[pa:pa + L], b[pb:pb + L])
+
     def test_lcs_vs_bruteforce(self):
         rng = np.random.default_rng(2)
         for _ in range(100):
