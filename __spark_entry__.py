@@ -215,6 +215,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           k=10, exclude_vec_id=0)
     q["ann_lsh_bucketed"] = ann_lsh_bucketed
 
+    def ann_ivf_topk(spark, sf):
+        # persisted inverted-file index: build once (cached on disk),
+        # probe only the nprobe nearest list partitions
+        from cdstore_spark import golden
+        idx = os.path.join(golden.DATA_ROOT,
+                           f"ann_ivf_{os.path.basename(os.path.normpath(sf))}")
+        S.ensure_ivf_index(spark, _embs(spark, sf), idx)
+        return S.topk_ivf(spark, idx, _query_vec(spark, sf),
+                          k=10, nprobe=4, exclude_vec_id=0)
+    q["ann_ivf_topk"] = ann_ivf_topk
+
     def embedding_centroids(spark, sf):
         return S.pairwise_label_centroids(_embs(spark, sf))
     q["embedding_centroids"] = embedding_centroids
@@ -388,6 +399,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("c_custkey", "c_name", "c_mktsegment"))
     q["customers_with_big_order"] = customers_with_big_order
 
+    def orders_json_roundtrip(spark, sf):
+        # SURVEY.md §2.B row 29: to_json/from_json/get_json_object — the
+        # lineage-sidecar serialization pattern, gated by a plain-columns
+        # oracle (serialize a struct, parse it back, extract fields)
+        o = _t(spark, sf, "orders")
+        j = F.to_json(F.struct("o_orderstatus", "o_totalprice",
+                               "o_orderpriority"))
+        parsed = F.from_json(
+            j, "o_orderstatus string, o_totalprice double,"
+               " o_orderpriority string")
+        return o.select(
+            "o_orderkey",
+            parsed["o_orderstatus"].alias("status_rt"),
+            F.round(parsed["o_totalprice"], 2).alias("price_rt"),
+            F.get_json_object(j, "$.o_orderpriority").alias("prio_rt"))
+    q["orders_json_roundtrip"] = orders_json_roundtrip
+
+    def priorities_in_both_statuses(spark, sf):
+        # literal INTERSECT (set semantics) — SURVEY.md §2.B row 23
+        o = _t(spark, sf, "orders")
+        f_prio = (o.where(F.col("o_orderstatus") == "F")
+                  .select("o_orderpriority"))
+        o_prio = (o.where(F.col("o_orderstatus") == "O")
+                  .select("o_orderpriority"))
+        return f_prio.intersect(o_prio)
+    q["priorities_in_both_statuses"] = priorities_in_both_statuses
+
+    def streaming_incremental_features(spark, sf):
+        # Structured Streaming contract surface (SURVEY.md §2.B row 30):
+        # availableNow file-source ingest accumulates epoch-partitioned
+        # feature state; per-clip featurize is deterministic, so the
+        # accumulated rows must equal the batch engine's frozen golden
+        from cdstore_spark.streaming import ingest as SI
+        state = SI.ensure_incremental_run(spark, _tier(sf))
+        feats = spark.read.parquet(os.path.join(state, "features"))
+        return feats.select("clip_id", "n_samples", "pcm_sha256")
+    q["streaming_incremental_features"] = streaming_incremental_features
+
+    def customer_nation_except_all(spark, sf):
+        # literal EXCEPT ALL (multiset semantics) — SURVEY.md §2.B row 23
+        c = (_t(spark, sf, "customer")
+             .select(F.col("c_nationkey").alias("nationkey")))
+        s = (_t(spark, sf, "supplier")
+             .select(F.col("s_nationkey").alias("nationkey")))
+        return c.exceptAll(s)
+    q["customer_nation_except_all"] = customer_nation_except_all
+
     return q
 
 
@@ -507,6 +565,9 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
                        AS stored_bytes
             FROM read_parquet('{clips}') c
             JOIN read_parquet('{clus}') g USING (clip_id)""",
+        "streaming_incremental_features": f"""
+            SELECT clip_id, n_samples, pcm_sha256
+            FROM read_parquet('{pcm}')""",
         "audio_skew_stats": f"""
             SELECT channel, n_buckets, max_bucket, subbucket_splits,
                    buckets_block_split
@@ -534,6 +595,9 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
         "ann_lsh_bucketed": f"""
             SELECT vec_id, cos_sim
             FROM read_parquet('{GF.path("expected_ann_lsh.parquet")}')""",
+        "ann_ivf_topk": f"""
+            SELECT vec_id, cos_sim
+            FROM read_parquet('{GF.path("expected_ann_ivf.parquet")}')""",
         "multimodal_binary_meta": f"""
             SELECT clip_id,
                    CAST(octet_length(bytes) AS BIGINT) AS n_bytes,
@@ -704,6 +768,19 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
                    round(CAST(sum(CAST(value AS DECIMAL(18,2)))
                          AS DOUBLE), 2) AS session_value
             FROM sess GROUP BY user_id, session_id""",
+        "orders_json_roundtrip": """
+            SELECT o_orderkey, o_orderstatus AS status_rt,
+                   round(o_totalprice, 2) AS price_rt,
+                   o_orderpriority AS prio_rt
+            FROM orders""",
+        "priorities_in_both_statuses": """
+            SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'""",
+        "customer_nation_except_all": """
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT ALL
+            SELECT s_nationkey AS nationkey FROM supplier""",
         "lineitem_flag_pivot": """
             SELECT date_trunc('month', l_shipdate) AS month,
                    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)

@@ -13,6 +13,7 @@ Two tiers, per the usual ANN playbook:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -104,6 +105,105 @@ def topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
     cand = df.join(buckets.where(F.col("bucket") == qbucket), "vec_id",
                    "leftsemi")
     return topk_bruteforce(cand, query_vec, k, exclude_vec_id)
+
+
+_ASSIGN_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("list_id", T.IntegerType()),
+])
+
+#: k-means fit sample cap: the driver-side fit sees at most this many
+#: vectors (deterministic modulo-sample above it); assignment stays fully
+#: distributed, so the index itself has no scale ceiling
+IVF_FIT_SAMPLE_MAX = 100_000
+
+
+def ann_index_build(spark, df: DataFrame, index_dir: str, k: int = 16,
+                    iters: int = 10) -> str:
+    """Persisted IVF (inverted-file) ANN index.
+
+    Fit: spherical k-means centroids on a deterministic sample (collected
+    to the driver — centroids are tiny). Assign: every vector labeled with
+    its nearest-centroid list via a vectorized Arrow batch matmul. Write:
+    vectors parquet PARTITIONED BY list_id, plus a centroids parquet — so
+    a probe reads only its nprobe list partitions (partition pruning),
+    never the full table. This is the persisted-index answer to
+    recomputing LSH buckets per query.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..kernels import ann as K_ann
+
+    n = df.count()
+    sample = df
+    if n > IVF_FIT_SAMPLE_MAX:
+        step = (n + IVF_FIT_SAMPLE_MAX - 1) // IVF_FIT_SAMPLE_MAX
+        sample = df.where(F.pmod(F.col("vec_id"), F.lit(step)) == 0)
+    fit = (sample.select("vec_id", "embedding")
+           .orderBy("vec_id").toPandas())
+    mat = np.stack(fit["embedding"].to_numpy()).astype(np.float64)
+    cents = K_ann.kmeans_fit(mat, k, iters)
+
+    os.makedirs(index_dir, exist_ok=True)
+    pq.write_table(pa.table({
+        "list_id": np.arange(cents.shape[0], dtype=np.int32),
+        "centroid": list(cents)}),
+        os.path.join(index_dir, "centroids.parquet"))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import ann as K
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].astype(np.int64),
+                                "list_id": K.assign_lists(m, cents)})
+
+    lists = df.select("vec_id", "embedding").mapInPandas(
+        assign, _ASSIGN_SCHEMA)
+    (df.join(lists, "vec_id")
+     .write.mode("overwrite").partitionBy("list_id")
+     .parquet(os.path.join(index_dir, "vectors")))
+    return index_dir
+
+
+def load_centroids(index_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    pdf = t.to_pandas().sort_values("list_id")
+    return np.stack(pdf["centroid"].to_numpy()).astype(np.float64)
+
+
+def topk_ivf(spark, index_dir: str, query_vec: list[float], k: int = 10,
+             nprobe: int = 4, exclude_vec_id: int | None = None
+             ) -> DataFrame:
+    """Probe the persisted IVF index: rank inverted lists by centroid
+    similarity, scan ONLY the top-nprobe list partitions (pushed down as a
+    partition filter on list_id), exact cosine within them."""
+    from ..kernels import ann as K_ann
+
+    cents = load_centroids(index_dir)
+    probe = [int(v) for v in
+             K_ann.rank_lists(np.asarray(query_vec), cents)[:nprobe]]
+    part = (spark.read.parquet(os.path.join(index_dir, "vectors"))
+            .where(F.col("list_id").isin(probe)))
+    return topk_bruteforce(part, query_vec, k, exclude_vec_id)
+
+
+def ensure_ivf_index(spark, df: DataFrame, index_dir: str, k: int = 16
+                     ) -> str:
+    """Build-once cache wrapper around ann_index_build (marker file)."""
+    import json
+    marker = os.path.join(index_dir, "_INDEX_DONE.json")
+    if os.path.exists(marker):
+        return index_dir
+    ann_index_build(spark, df, index_dir, k)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"k": k}, f)
+    os.replace(tmp, marker)
+    return index_dir
 
 
 def pairwise_label_centroids(df: DataFrame) -> DataFrame:

@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 from . import golden, oracle
 from .config import DEFAULT, PipelineConfig
 
-VERSION = 2
+VERSION = 3
 FUNC_DIR = os.path.join(golden.DATA_ROOT, "func_correctness")
 #: the driver grades at sf0.01 — goldens are frozen against that tier
 SF_DIR = "/root/testdata/sf0.01"
@@ -189,6 +189,30 @@ def _expected_ann_lsh(embs: pd.DataFrame, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(recs[:k], columns=["vec_id", "cos_sim"])
 
 
+def _expected_ann_ivf(embs: pd.DataFrame, k_lists: int = 16,
+                      nprobe: int = 4, k: int = 10) -> pd.DataFrame:
+    from .kernels import ann as K_ann
+    pdf = embs.sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    vec_ids = pdf["vec_id"].to_numpy().astype(np.int64)
+    cents = K_ann.kmeans_fit(mat, k_lists)
+    assign = K_ann.assign_lists(mat, cents)
+    qi = int(np.flatnonzero(vec_ids == 0)[0])
+    qv = mat[qi]
+    probe = set(int(v) for v in K_ann.rank_lists(qv, cents)[:nprobe])
+    qnorm = np.sqrt(_fold_dot(qv, qv))
+    recs = []
+    for i in range(mat.shape[0]):
+        if vec_ids[i] == 0 or int(assign[i]) not in probe:
+            continue
+        e = mat[i]
+        sim = _fold_dot(e, qv) / (np.sqrt(_fold_dot(e, e)) * qnorm)
+        recs.append((int(vec_ids[i]),
+                     float(np.floor(sim * 1e6 + 0.5) / 1e6)))
+    recs.sort(key=lambda r: (-r[1], r[0]))
+    return pd.DataFrame(recs[:k], columns=["vec_id", "cos_sim"])
+
+
 def ensure_func_golden(cfg: PipelineConfig = DEFAULT) -> str:
     marker = os.path.join(FUNC_DIR, "_FUNC_GOLDEN_DONE.json")
     if os.path.exists(marker):
@@ -211,6 +235,7 @@ def ensure_func_golden(cfg: PipelineConfig = DEFAULT) -> str:
     _write(_expected_fingerprints(docs), "expected_fingerprints.parquet")
     _write(_expected_lang_id(docs), "expected_lang_id.parquet")
     _write(_expected_ann_lsh(embs), "expected_ann_lsh.parquet")
+    _write(_expected_ann_ivf(embs), "expected_ann_ivf.parquet")
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"version": VERSION, "sf_dir": SF_DIR}, f)

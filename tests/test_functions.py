@@ -62,6 +62,45 @@ class TestSimops:
         assert len(ap & bf) >= 1
         assert len(ap) <= 10
 
+    def test_ivf_index_recall_on_clustered_data(self, spark, tmp_path):
+        """Persisted IVF index: on data with cluster structure (the regime
+        ANN indexes exist for), probing 2 of 10 lists must recover >= 0.9
+        of the exact cosine top-10. The driver's embeddings table is
+        near-random, so its contract query is gated by exact golden
+        equality instead of a recall bound."""
+        from cdstore_spark.functions import simops as S
+        rng = np.random.default_rng(11)
+        centers = rng.standard_normal((10, 64)) * 4
+        rows = []
+        for i in range(800):
+            c = i % 10
+            v = centers[c] + rng.standard_normal(64) * 0.3
+            rows.append((i, [float(x) for x in v], c))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        idx = str(tmp_path / "ivf")
+        S.ann_index_build(spark, df, idx, k=10)
+        q = [float(x) for x in
+             (centers[3] + rng.standard_normal(64) * 0.3)]
+        exact = [r["vec_id"] for r in
+                 S.topk_bruteforce(df, q, 10).collect()]
+        approx = [r["vec_id"] for r in
+                  S.topk_ivf(spark, idx, q, 10, nprobe=2).collect()]
+        assert len(set(exact) & set(approx)) >= 9
+
+    def test_ivf_probe_reads_only_probed_partitions(self, spark, tmp_path):
+        """The probe's scan must carry the list_id partition filter (the
+        whole point of persisting the index partitioned by list)."""
+        from cdstore_spark.functions import simops as S
+        embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+        idx = str(tmp_path / "ivf2")
+        S.ann_index_build(spark, embs, idx, k=8)
+        q = [float(v) for v in
+             embs.where("vec_id = 0").collect()[0]["embedding"]]
+        plan = S.topk_ivf(spark, idx, q, 10, nprobe=2)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "list_id" in plan and "PartitionFilters" in plan
+
     def test_buckets_deterministic(self, spark):
         from cdstore_spark.functions import simops as S
         embs = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)

@@ -51,6 +51,27 @@ class TestIncrementalIngest:
         assert spark.read.parquet(
             os.path.join(state, "features")).count() == 120
 
+    def test_epoch_replay_does_not_duplicate(self, spark, staged_clips,
+                                             tmp_path):
+        """Simulated retry: wipe ONLY the streaming checkpoint so every
+        micro-batch replays against the existing output. Epoch-partitioned
+        dynamic overwrite must replace the epochs, not append duplicates
+        (the failure mode of plain mode('append') epoch tagging)."""
+        from cdstore_spark.streaming.ingest import incremental_dedup_ingest
+        in_dir, src = staged_clips
+        state = str(tmp_path / "state3")
+        q = incremental_dedup_ingest(spark, in_dir, state)
+        q.awaitTermination(300)
+        feat_dir = os.path.join(state, "features")
+        n1 = spark.read.parquet(feat_dir).count()
+        assert n1 == 120
+        shutil.rmtree(os.path.join(state, "_checkpoint"))
+        q2 = incremental_dedup_ingest(spark, in_dir, state)
+        q2.awaitTermination(300)
+        feats = spark.read.parquet(feat_dir)
+        assert feats.count() == 120
+        assert feats.select("clip_id").distinct().count() == 120
+
     def test_cross_batch_pairs_found(self, spark, staged_clips, tmp_path):
         """Planted duplicates split across arrival files must still pair up
         (new-vs-old band index join)."""
