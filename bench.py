@@ -132,6 +132,7 @@ def main() -> None:
     for name in ["tpch_q1_pricing", "tpch_q3_shipping",
                  "tpch_q5_region_revenue", "dedup_jaccard_docs",
                  "dedup_minhash_lsh_docs", "ann_topk_cosine",
+                 "ann_ivf_topk", "lang_id_docs", "gram_df_stats_docs",
                  "text_quality_docs", "events_user_daily"]:
         t0 = time.time()
         qs[name](spark, SF_DIR).count()
