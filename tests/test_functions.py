@@ -101,6 +101,28 @@ class TestSimops:
             .queryExecution().executedPlan().toString()
         assert "list_id" in plan and "PartitionFilters" in plan
 
+    def test_cosine_pairs_exact_no_cartesian(self, spark):
+        """Blocked triangle enumeration must plan as an equi-join on the
+        block-pair key — never a cartesian/broadcast-nested-loop."""
+        from cdstore_spark.functions import simops as S
+        embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+        out = S.cosine_pairs_exact(embs, threshold=0.4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # and it finds exactly the brute-force pair set
+        import numpy as np
+        pdf = embs.toPandas()
+        mat = np.stack(pdf["embedding"]).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ids = pdf["vec_id"].to_numpy()
+        iu = np.triu_indices(len(ids), 1)
+        exp = {(min(ids[i], ids[j]), max(ids[i], ids[j]))
+               for i, j in zip(*iu) if sims[i, j] >= 0.4}
+        got = {(r["a"], r["b"]) for r in out.collect()}
+        assert got == exp
+
     def test_buckets_deterministic(self, spark):
         from cdstore_spark.functions import simops as S
         embs = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
