@@ -195,6 +195,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return X.lang_id(_docs(spark, sf))
     q["lang_id_docs"] = lang_id_docs
 
+    def doc_dedup_clusters(spark, sf):
+        # the full document dedup decision: MinHash-LSH near-dup pairs →
+        # distributed union-find → canonical doc per cluster (the same
+        # large-star/small-star operator the audio engine uses; singleton
+        # docs map to themselves). Golden oracle = DuckDB exact-Jaccard
+        # pairs + the shared NumPy union-find kernel.
+        from cdstore_spark.engine.cluster import connected_components
+        docs = _docs(spark, sf)
+        pairs = X.minhash_lsh_pairs(docs).select("a", "b")
+        clus = connected_components(
+            pairs, docs.select(F.col("doc_id").alias("clip_id")))
+        return clus.select(F.col("clip_id").alias("doc_id"),
+                           F.col("cluster_id").alias("canonical_doc_id"))
+    q["doc_dedup_clusters"] = doc_dedup_clusters
+
     def gram_df_stats_docs(spark, sf):
         return X.gram_df_stats(_docs(spark, sf))
     q["gram_df_stats_docs"] = gram_df_stats_docs
@@ -600,6 +615,9 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
         "lang_id_docs": f"""
             SELECT doc_id, lang_pred, lang_score
             FROM read_parquet('{GF.path("expected_lang_id.parquet")}')""",
+        "doc_dedup_clusters": f"""
+            SELECT doc_id, canonical_doc_id
+            FROM read_parquet('{GF.path("expected_doc_clusters.parquet")}')""",
         "ann_lsh_bucketed": f"""
             SELECT vec_id, cos_sim
             FROM read_parquet('{GF.path("expected_ann_lsh.parquet")}')""",

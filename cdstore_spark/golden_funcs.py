@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 from . import golden, oracle
 from .config import DEFAULT, PipelineConfig
 
-VERSION = 3
+VERSION = 4
 FUNC_DIR = os.path.join(golden.DATA_ROOT, "func_correctness")
 #: the driver grades at sf0.01 — goldens are frozen against that tier
 SF_DIR = "/root/testdata/sf0.01"
@@ -153,6 +153,43 @@ def _expected_lang_id(docs: pd.DataFrame) -> pd.DataFrame:
                                                 + 0.5) / 1e6})
 
 
+def _expected_doc_clusters(docs_path: str) -> pd.DataFrame:
+    """DuckDB exact-Jaccard >= 0.8 pairs (the same SQL the pair oracle
+    uses) + the shared NumPy union-find kernel → canonical doc map."""
+    import duckdb
+
+    from .kernels import unionfind as K_uf
+    con = duckdb.connect()
+    pairs = con.execute(rf"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+          FROM read_parquet('{docs_path}')
+        ), grams AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+          FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+          WHERE len(t) >= 3
+        ), sizes AS (
+          SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+        ), inter AS (
+          SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+          FROM grams l JOIN grams r ON l.gram = r.gram
+                                   AND l.doc_id < r.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a, b FROM inter
+        JOIN sizes sa ON inter.a = sa.doc_id
+        JOIN sizes sb ON inter.b = sb.doc_id
+        WHERE i / (sa.sz + sb.sz - i) >= 0.8""").df()
+    all_ids = con.execute(
+        f"SELECT doc_id FROM read_parquet('{docs_path}')").df()["doc_id"]
+    comp = K_uf.components(
+        list(zip(pairs["a"].astype(int), pairs["b"].astype(int))),
+        all_ids.astype(int).to_numpy())
+    recs = sorted(comp.items())
+    return pd.DataFrame(recs, columns=["doc_id", "canonical_doc_id"]
+                        ).astype(np.int64)
+
+
 def _fold_dot(a: np.ndarray, b: np.ndarray) -> float:
     """Sequential left-fold dot product — bit-identical to Spark's
     F.aggregate(zip_with(...)) double arithmetic."""
@@ -236,6 +273,8 @@ def ensure_func_golden(cfg: PipelineConfig = DEFAULT) -> str:
     _write(_expected_lang_id(docs), "expected_lang_id.parquet")
     _write(_expected_ann_lsh(embs), "expected_ann_lsh.parquet")
     _write(_expected_ann_ivf(embs), "expected_ann_ivf.parquet")
+    _write(_expected_doc_clusters(os.path.join(SF_DIR, "documents.parquet")),
+           "expected_doc_clusters.parquet")
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"version": VERSION, "sf_dir": SF_DIR}, f)

@@ -102,6 +102,9 @@ def lang_scores(texts, profiles: dict[str, np.ndarray]
     scoring loop.
     """
     tris = [np.unique(char_trigram_hashes(str(t))) for t in texts]
+    if not profiles:
+        return (["und"] * len(tris),
+                np.zeros(len(tris), dtype=np.float64))
     counts = np.array([a.shape[0] for a in tris], dtype=np.int64)
     flat = np.concatenate(tris) if tris else np.empty(0, dtype=U64)
     offs = np.zeros(len(tris) + 1, dtype=np.int64)
