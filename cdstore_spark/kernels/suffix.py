@@ -177,15 +177,22 @@ def longest_common_run(a: np.ndarray, b: np.ndarray) -> tuple[int, int, int]:
     inv = H.poly_inv_powers(max(na, nb) + 1)
 
     def win(prefix: np.ndarray, m: int, length: int) -> np.ndarray:
-        s = np.arange(m - length + 1, dtype=np.int64)
-        return (prefix[s + length] - prefix[s]) * inv[s]
+        k = m - length + 1
+        return (prefix[length:length + k] - prefix[:k]) * inv[:k]
 
     def match_mask(length: int) -> np.ndarray:
+        # sort the shorter window set, probe with the longer — the sort is
+        # the expensive piece of each probe
         wa = win(pref_a, na, length)
-        wb = np.sort(win(pref_b, nb, length))
-        pos = np.searchsorted(wb, wa)
-        return (pos < wb.shape[0]) & (wb[np.minimum(pos, wb.shape[0] - 1)]
-                                      == wa)
+        wb = win(pref_b, nb, length)
+        if wb.shape[0] <= wa.shape[0]:
+            probe, table = wa, np.sort(wb)
+        else:
+            probe, table = wb, np.sort(wa)
+        pos = np.searchsorted(table, probe)
+        hit = (pos < table.shape[0]) \
+            & (table[np.minimum(pos, table.shape[0] - 1)] == probe)
+        return hit
 
     lo, hi = 0, min(na, nb)
     while lo < hi:
@@ -196,7 +203,12 @@ def longest_common_run(a: np.ndarray, b: np.ndarray) -> tuple[int, int, int]:
             hi = mid - 1
     if lo == 0:
         return 0, -1, -1
-    pa = int(np.flatnonzero(match_mask(lo))[0])
-    target = win(pref_a, na, lo)[pa]
-    pb = int(np.flatnonzero(win(pref_b, nb, lo) == target)[0])
+    wa = win(pref_a, na, lo)
+    wb = win(pref_b, nb, lo)
+    table = np.sort(wb)
+    pos = np.searchsorted(table, wa)
+    hita = (pos < table.shape[0]) \
+        & (table[np.minimum(pos, table.shape[0] - 1)] == wa)
+    pa = int(np.flatnonzero(hita)[0])
+    pb = int(np.flatnonzero(wb == wa[pa])[0])
     return int(lo), pa, pb
