@@ -166,6 +166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return M.image_feature_summary(_clip_subset(spark, sf))
     q["image_feature_stub"] = image_feature_stub  # stubbed decode kernel
 
+    def audio_resample_stats(spark, sf):
+        return M.resample_audio_stats(_clip_subset(spark, sf))
+    q["audio_resample_stats"] = audio_resample_stats
+
     # ---- documents: dedup + text analysis --------------------------------
     def dedup_exact_docs(spark, sf):
         return X.dedup_exact_canonical(_docs(spark, sf))
@@ -600,6 +604,11 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
                    frame_rms, frame_peak
             FROM read_parquet(
                 '{GF.path("expected_frame_features.parquet")}')""",
+        "audio_resample_stats": f"""
+            SELECT clip_id, CAST(sr_from AS INTEGER) AS sr_from,
+                   CAST(sr_to AS INTEGER) AS sr_to, n_samples_out, rms_out
+            FROM read_parquet(
+                '{GF.path("expected_resample_stats.parquet")}')""",
         "image_feature_stub": f"""
             SELECT clip_id, CAST(width AS INTEGER) AS width,
                    CAST(height AS INTEGER) AS height, feature_md5,

@@ -80,6 +80,45 @@ def frame_sample_audio(df: DataFrame, frame_ms: int = 100) -> DataFrame:
     return df.mapInPandas(fn, FRAME_SCHEMA)
 
 
+RESAMPLE_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("sr_from", T.IntegerType()),
+    T.StructField("sr_to", T.IntegerType()),
+    T.StructField("n_samples_out", T.LongType()),
+    T.StructField("rms_out", T.DoubleType()),
+])
+
+
+def resample_audio_stats(df: DataFrame, target_hz: int = 8000) -> DataFrame:
+    """Decode → linear resample to target_hz (the audio analog of image
+    resize) → per-clip output stats. Arrow-batched over the shared
+    resample kernel; the full resampled PCM never leaves the worker —
+    at lake scale you'd write it back columnar, here the stats are the
+    verifiable contract surface."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import codec as K_codec
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            recs = []
+            for cid, raw, sr, codec in zip(pdf["clip_id"].to_numpy(),
+                                           pdf["bytes"].to_numpy(),
+                                           pdf["sr_hz"].to_numpy(),
+                                           pdf["codec"].to_numpy()):
+                x = K_codec.decode_float(raw, str(codec))
+                y = K_codec.resample_linear(x, int(sr), target_hz)
+                rms = float(np.sqrt((y.astype(np.float64) ** 2).mean())) \
+                    if y.shape[0] else 0.0
+                recs.append((cid, int(sr), target_hz, int(y.shape[0]),
+                             float(np.floor(rms * 1e6 + 0.5) / 1e6)))
+            yield pd.DataFrame(recs, columns=["clip_id", "sr_from", "sr_to",
+                                              "n_samples_out", "rms_out"])
+
+    return (df.select("clip_id", "bytes", "sr_hz", "codec")
+            .mapInPandas(fn, RESAMPLE_SCHEMA))
+
+
 IMAGE_META_SCHEMA = T.StructType([
     T.StructField("clip_id", T.StringType()),
     T.StructField("width", T.IntegerType()),

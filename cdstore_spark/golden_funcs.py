@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 from . import golden, oracle
 from .config import DEFAULT, PipelineConfig
 
-VERSION = 4
+VERSION = 5
 FUNC_DIR = os.path.join(golden.DATA_ROOT, "func_correctness")
 #: the driver grades at sf0.01 — goldens are frozen against that tier
 SF_DIR = "/root/testdata/sf0.01"
@@ -82,6 +82,23 @@ def _expected_image_stub(clips: pd.DataFrame) -> pd.DataFrame:
                                     * 1e6 + 0.5) / 1e6)))
     return pd.DataFrame(recs, columns=["clip_id", "width", "height",
                                        "feature_md5", "feature_mean"])
+
+
+def _expected_resample_stats(clips: pd.DataFrame,
+                             target_hz: int = 8000) -> pd.DataFrame:
+    from .kernels import codec as K_codec
+    sub = clips[clips["clip_id"] < CLIP_SUBSET_MAX]
+    recs = []
+    for cid, raw, sr, codec in zip(sub["clip_id"], sub["bytes"],
+                                   sub["sr_hz"], sub["codec"]):
+        x = K_codec.decode_float(raw, str(codec))
+        y = K_codec.resample_linear(x, int(sr), target_hz)
+        rms = float(np.sqrt((y.astype(np.float64) ** 2).mean())) \
+            if y.shape[0] else 0.0
+        recs.append((cid, int(sr), target_hz, int(y.shape[0]),
+                     float(np.floor(rms * 1e6 + 0.5) / 1e6)))
+    return pd.DataFrame(recs, columns=["clip_id", "sr_from", "sr_to",
+                                       "n_samples_out", "rms_out"])
 
 
 def _expected_simhash_pairs(docs: pd.DataFrame, cfg: PipelineConfig,
@@ -267,6 +284,8 @@ def ensure_func_golden(cfg: PipelineConfig = DEFAULT) -> str:
     _write(_expected_frame_features(clips),
            "expected_frame_features.parquet")
     _write(_expected_image_stub(clips), "expected_image_stub.parquet")
+    _write(_expected_resample_stats(clips),
+           "expected_resample_stats.parquet")
     _write(_expected_simhash_pairs(docs, cfg),
            "expected_simhash_pairs.parquet")
     _write(_expected_fingerprints(docs), "expected_fingerprints.parquet")

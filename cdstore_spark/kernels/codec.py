@@ -106,5 +106,17 @@ def decode_float(raw: bytes | np.ndarray, codec: str) -> np.ndarray:
     return decode_i16(raw, codec).astype(np.float32) * _I16_SCALE
 
 
+def resample_linear(x: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+    """Linear-interpolation resample (the audio analog of image resize):
+    deterministic, endpoint-preserving, float32 out. Shared by the Spark
+    multimodal operator and the golden mirror."""
+    if x.shape[0] == 0 or sr_from == sr_to:
+        return x.astype(np.float32, copy=False)
+    n_out = max(1, int(round(x.shape[0] * sr_to / sr_from)))
+    xq = np.linspace(0.0, x.shape[0] - 1, n_out)
+    xp = np.arange(x.shape[0], dtype=np.float64)
+    return np.interp(xq, xp, x.astype(np.float64)).astype(np.float32)
+
+
 def n_samples(raw_len: int, codec: str) -> int:
     return raw_len // 2 if codec == "pcm_s16le" else raw_len

@@ -78,3 +78,25 @@ class TestTextKernelEdges:
     def test_lang_scores_no_profiles(self):
         langs, scores = K_text.lang_scores(["abc"], {})
         assert langs == ["und"] and scores[0] == 0.0
+
+
+class TestResample:
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(_f32, max_size=500), st.sampled_from([8000, 16000]),
+           st.sampled_from([8000, 16000]))
+    def test_resample_length_and_identity(self, x, sr_from, sr_to):
+        from cdstore_spark.kernels.codec import resample_linear
+        arr = np.asarray(x, dtype=np.float32)
+        y = resample_linear(arr, sr_from, sr_to)
+        if sr_from == sr_to:
+            assert np.array_equal(y, arr)
+        elif arr.shape[0]:
+            assert y.shape[0] == max(1, round(arr.shape[0]
+                                              * sr_to / sr_from))
+            # endpoints preserved by linear interpolation (needs >= 2
+            # output samples — a length-1 output sits at position 0)
+            assert np.isclose(y[0], arr[0], atol=1e-5)
+            if y.shape[0] >= 2:
+                assert np.isclose(y[-1], arr[-1], atol=1e-5)
+        else:
+            assert y.shape[0] == 0
