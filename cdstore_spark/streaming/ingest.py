@@ -144,6 +144,36 @@ def ensure_incremental_run(spark: SparkSession, tier: str = "correctness",
     return state
 
 
+def running_codec_stats(clip_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-
+    codec RUNNING clip count + payload byte total across micro-batches —
+    the arbitrary-state API the brief names for operators that tumbling
+    windows can't express (monotone running aggregates over an unbounded
+    key lifetime). State is one (count, bytes) pair per codec; each
+    micro-batch emits the updated running totals for the codecs it saw.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "codec string, n_clips long, total_bytes long"
+    state_schema = "n long, b long"
+
+    def fn(key, pdfs, state: GroupState):
+        n, b = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            b += int(pdf["n_bytes"].sum())
+        state.update((n, b))
+        yield pd.DataFrame({"codec": [key[0]], "n_clips": [n],
+                            "total_bytes": [b]})
+
+    keyed = clip_stream.select(
+        "codec", F.octet_length("bytes").cast("long").alias("n_bytes"))
+    return keyed.groupBy("codec").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+
+
 def windowed_event_counts(events_stream: DataFrame,
                           watermark: str = "1 hour",
                           window_len: str = "1 day") -> DataFrame:

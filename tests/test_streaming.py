@@ -98,6 +98,34 @@ class TestIncrementalIngest:
         assert exp <= got
 
 
+class TestStatefulOperator:
+    def test_running_codec_stats_matches_batch(self, spark, staged_clips,
+                                               tmp_path):
+        """applyInPandasWithState running totals: after an availableNow
+        drain over 3 arrival files, the LAST update per codec must equal
+        the batch groupBy over all 120 clips."""
+        from cdstore_spark.engine import featurize as S_feat
+        from cdstore_spark.streaming.ingest import running_codec_stats
+        in_dir, src = staged_clips
+        stream = (spark.readStream.schema(S_feat.CLIP_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        q = (running_codec_stats(stream)
+             .writeStream.format("memory").queryName("codec_stats")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck_state"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        got = (spark.sql("select * from codec_stats").toPandas()
+               .groupby("codec").max())   # running totals are monotone
+        batch = spark.createDataFrame(src).groupBy("codec").agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum(F.octet_length("bytes").cast("long"))
+            .alias("total_bytes")).toPandas().set_index("codec")
+        for codec, row in batch.iterrows():
+            assert got.loc[codec, "n_clips"] == row["n_clips"]
+            assert got.loc[codec, "total_bytes"] == row["total_bytes"]
+
+
 class TestWindowedAgg:
     def test_watermarked_window_counts(self, spark, tmp_path):
         from cdstore_spark.streaming.ingest import windowed_event_counts
