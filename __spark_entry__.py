@@ -25,9 +25,17 @@ from pyspark.sql import functions as F
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
+
+def _data_root() -> str:
+    # single source of truth for the golden cache location (honors
+    # CDSTORE_DATA_DIR like golden.py, so cold-start self-healing and the
+    # oracle paths can never point at different directories)
+    return os.environ.get("CDSTORE_DATA_DIR", os.path.join(_REPO, "data"))
+
+
 # the driver grades at sf0.01 → correctness tier; oracle SQL strings are
 # static, so they reference this tier's golden artifacts by absolute path
-_GOLD = os.path.join(_REPO, "data", "audio_correctness")
+_GOLD = os.path.join(_data_root(), "audio_correctness")
 
 
 def _gold(name: str) -> str:
