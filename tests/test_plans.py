@@ -53,3 +53,7 @@ class TestPlans:
         # (+ sub/block salt) must appear
         assert "hashpartitioning" in plan
         assert "band_hash" in plan
+        # round 2 replaced the double window (exchange + full partition
+        # sort) with groupBy + sort_array + posexplode — a Window operator
+        # reappearing in the pair path is a regression
+        assert "Window" not in plan
