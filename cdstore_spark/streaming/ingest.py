@@ -119,10 +119,18 @@ def ensure_incremental_run(spark: SparkSession, tier: str = "correctness",
 
     from .. import golden
 
+    from ..engine.pipeline import ENGINE_LAYOUT_VERSION
+
     state = os.path.join(golden.DATA_ROOT, f"stream_{tier}")
     marker = os.path.join(state, "_STREAM_DONE.json")
     if os.path.exists(marker):
-        return state
+        try:
+            with open(marker) as f:
+                if json.load(f).get("layout") == ENGINE_LAYOUT_VERSION:
+                    return state
+        except (json.JSONDecodeError, OSError):
+            pass
+        # stale layout (featurize schema changed) — rebuild from scratch
     shutil.rmtree(state, ignore_errors=True)
     input_dir = os.path.join(state, "input")
     os.makedirs(input_dir, exist_ok=True)
@@ -139,7 +147,8 @@ def ensure_incremental_run(spark: SparkSession, tier: str = "correctness",
     query.awaitTermination()
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"tier": tier, "n_files": n_files}, f)
+        json.dump({"tier": tier, "n_files": n_files,
+                   "layout": ENGINE_LAYOUT_VERSION}, f)
     os.replace(tmp, marker)
     return state
 
