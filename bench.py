@@ -99,6 +99,33 @@ def worker(cpus: int, what: str, path: str, out: str) -> None:
         json.dump(res, f)
 
 
+_HIST_PATH = os.path.join(REPO, "bench_history.jsonl")
+
+
+def _history_append(job: str, samples: dict[int, float]) -> None:
+    with open(_HIST_PATH, "a") as f:
+        f.write(json.dumps({"job": job,
+                            "wall_s": {str(k): round(v, 2)
+                                       for k, v in samples.items()}}) + "\n")
+
+
+def _history_min(job: str, samples: dict[int, float]) -> dict[int, float]:
+    """Per-level minimum over all recorded rounds, seeded with this run —
+    the 'capability' estimate that survives ±40% host interference."""
+    best = dict(samples)
+    if os.path.exists(_HIST_PATH):
+        with open(_HIST_PATH) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("job") != job:
+                    continue
+                for k, v in rec["wall_s"].items():
+                    c = int(k)
+                    if c in best:
+                        best[c] = min(best[c], float(v))
+    return best
+
+
 def _run_level(cpus: int, what: str, path: str) -> dict:
     out = f"/tmp/bench_{what}_{cpus}.json"
     env = dict(os.environ)
@@ -126,17 +153,8 @@ def main() -> None:
     clips_per_sec = n_clips / e2e["wall_s"]
     # e2e capability: like featurize scaling, single samples wander with
     # host interference — record history and report the per-level minimum
-    hist_path = os.path.join(REPO, "bench_history.jsonl")
-    with open(hist_path, "a") as f:
-        f.write(json.dumps({"job": "e2e",
-                            "wall_s": {str(CPUS): round(e2e["wall_s"], 2)}})
-                + "\n")
-    best_e2e = e2e["wall_s"]
-    with open(hist_path) as f:
-        for line in f:
-            rec = json.loads(line)
-            if rec.get("job") == "e2e" and str(CPUS) in rec["wall_s"]:
-                best_e2e = min(best_e2e, float(rec["wall_s"][str(CPUS)]))
+    _history_append("e2e", {CPUS: e2e["wall_s"]})
+    best_e2e = _history_min("e2e", {CPUS: e2e["wall_s"]})[CPUS]
 
     # ---- relational / dedup / ANN headline queries ------------------------
     import __spark_entry__ as E
@@ -175,22 +193,8 @@ def main() -> None:
         # shared-host interference makes single samples wander +-40%
         # run-to-run; keep a history and also report the capability
         # estimate (per-level minimum across all recorded rounds)
-        hist_path = os.path.join(REPO, "bench_history.jsonl")
-        os.makedirs(os.path.dirname(hist_path), exist_ok=True)
-        with open(hist_path, "a") as f:
-            f.write(json.dumps({"job": what,
-                                "wall_s": {str(k): round(v, 2)
-                                           for k, v in per.items()}}) + "\n")
-        best = {c: per[c] for c in SCALE_LEVELS}
-        with open(hist_path) as f:
-            for line in f:
-                rec = json.loads(line)
-                if rec.get("job") != what:
-                    continue
-                for k, v in rec["wall_s"].items():
-                    c = int(k)
-                    if c in best:
-                        best[c] = min(best[c], float(v))
+        _history_append(what, per)
+        best = _history_min(what, {c: per[c] for c in SCALE_LEVELS})
         for cpus in SCALE_LEVELS:
             d[f"best_wall_s_local{cpus}"] = round(best[cpus], 2)
         for lo, hi in zip(SCALE_LEVELS, SCALE_LEVELS[1:]):

@@ -74,6 +74,23 @@ class StageCheckpoint:
     def completed_chunks(self) -> list[int]:
         return sorted(c for c in range(self.n_chunks) if self.chunk_done(c))
 
+    def _prune_orphan_chunks(self) -> None:
+        """Remove chunk dirs/manifests with index >= n_chunks: a resume
+        with a smaller chunk count would otherwise read the old run's
+        leftover chunk=<i> directories back into the stage DataFrame —
+        exactly the stale-data path the fingerprint exists to prevent."""
+        import re
+        import shutil
+        for name in os.listdir(self.dir):
+            m = re.fullmatch(r"chunk=(\d+)", name)
+            if m and int(m.group(1)) >= self.n_chunks:
+                shutil.rmtree(os.path.join(self.dir, name),
+                              ignore_errors=True)
+        for name in os.listdir(self.manifest_dir):
+            m = re.fullmatch(r"chunk-(\d+)\.json", name)
+            if m and int(m.group(1)) >= self.n_chunks:
+                os.remove(os.path.join(self.manifest_dir, name))
+
     def run(self, spark: SparkSession,
             compute_chunk: Callable[[int], DataFrame],
             hash_cols_for_lineage: list[str] | None = None) -> DataFrame:
@@ -83,6 +100,7 @@ class StageCheckpoint:
         plan filtered by pmod(xxhash64(key), n_chunks) == i, so membership
         is deterministic and a resume recomputes nothing already done.
         """
+        self._prune_orphan_chunks()
         recomputed = 0
         for i in range(self.n_chunks):
             if self.chunk_done(i):

@@ -107,11 +107,8 @@ def resample_audio_stats(df: DataFrame, target_hz: int = 8000) -> DataFrame:
                                            pdf["sr_hz"].to_numpy(),
                                            pdf["codec"].to_numpy()):
                 x = K_codec.decode_float(raw, str(codec))
-                y = K_codec.resample_linear(x, int(sr), target_hz)
-                rms = float(np.sqrt((y.astype(np.float64) ** 2).mean())) \
-                    if y.shape[0] else 0.0
-                recs.append((cid, int(sr), target_hz, int(y.shape[0]),
-                             float(np.floor(rms * 1e6 + 0.5) / 1e6)))
+                n_out, rms6 = K_codec.resample_stats(x, int(sr), target_hz)
+                recs.append((cid, int(sr), target_hz, n_out, rms6))
             yield pd.DataFrame(recs, columns=["clip_id", "sr_from", "sr_to",
                                               "n_samples_out", "rms_out"])
 
@@ -171,25 +168,31 @@ IMAGE_SUMMARY_SCHEMA = T.StructType([
 ])
 
 
+def image_summary_record(raw: bytes) -> tuple[int, int, str, float]:
+    """(width, height, md5 of float32 feature bytes, 6-dp mean) for one
+    payload — the shared record body of image_feature_summary and the
+    golden mirror (one implementation on both sides)."""
+    import hashlib as _hl
+    w, h, feat = decode_image_stub(raw)
+    f32 = np.ascontiguousarray(feat, dtype=np.float32)
+    return (w, h, _hl.md5(f32.tobytes()).hexdigest(),
+            float(np.floor(f32.astype(np.float64).mean() * 1e6 + 0.5)
+                  / 1e6))
+
+
 def image_feature_summary(df: DataFrame, id_col: str = "clip_id",
                           bin_col: str = "bytes") -> DataFrame:
     """Scalar projection of image_features for contract/oracle comparison
     (array columns are summarized: md5 of the float32 feature bytes + the
     6-dp mean), so the result is pure scalar columns end to end."""
-    import hashlib as _hl
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            recs = []
-            for cid, raw in zip(pdf[id_col].to_numpy(),
-                                pdf[bin_col].to_numpy()):
-                w, h, feat = decode_image_stub(bytes(raw))
-                f32 = np.ascontiguousarray(feat, dtype=np.float32)
-                recs.append((cid, w, h, _hl.md5(f32.tobytes()).hexdigest(),
-                             float(np.floor(f32.astype(np.float64).mean()
-                                            * 1e6 + 0.5) / 1e6)))
+            recs = [(cid, *image_summary_record(bytes(raw)))
+                    for cid, raw in zip(pdf[id_col].to_numpy(),
+                                        pdf[bin_col].to_numpy())]
             yield pd.DataFrame(recs, columns=["clip_id", "width", "height",
                                               "feature_md5", "feature_mean"])
 

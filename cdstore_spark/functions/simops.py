@@ -70,6 +70,16 @@ _BUCKET_SCHEMA = T.StructType([
 ])
 
 
+def sign_buckets(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, d) vectors → (n,) int32 sign-pattern bucket ids — the shared
+    bucketing math of lsh_buckets, topk_lsh's query-side probe and the
+    golden mirror (one implementation on all sides)."""
+    signs = (np.asarray(mat, dtype=np.float64) @ planes.T) > 0    # (n, P)
+    return (signs.astype(np.int32)
+            << np.arange(planes.shape[0], dtype=np.int32)).sum(
+        axis=1).astype(np.int32)
+
+
 def lsh_buckets(df: DataFrame, n_planes: int = 8,
                 cfg: PipelineConfig = DEFAULT, dim: int = EMBED_DIM
                 ) -> DataFrame:
@@ -81,11 +91,8 @@ def lsh_buckets(df: DataFrame, n_planes: int = 8,
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            signs = (mat @ planes.T) > 0                      # (n, P)
-            bucket = (signs.astype(np.int32)
-                      << np.arange(planes.shape[0], dtype=np.int32)).sum(axis=1)
             yield pd.DataFrame({"vec_id": pdf["vec_id"].astype(np.int64),
-                                "bucket": bucket.astype(np.int32)})
+                                "bucket": sign_buckets(mat, planes)})
 
     return df.select("vec_id", "embedding").mapInPandas(fn, _BUCKET_SCHEMA)
 
@@ -99,8 +106,7 @@ def topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
     """
     planes = hyperplanes(n_planes, dim=len(query_vec), cfg=cfg)
     qv = np.asarray(query_vec, dtype=np.float64)
-    qbucket = int(((qv @ planes.T) > 0).astype(np.int32)
-                  @ (1 << np.arange(n_planes)))
+    qbucket = int(sign_buckets(qv[None, :], planes)[0])
     buckets = lsh_buckets(df, n_planes, cfg, dim=len(query_vec))
     cand = df.join(buckets.where(F.col("bucket") == qbucket), "vec_id",
                    "leftsemi")
@@ -235,17 +241,32 @@ def topk_ivf(spark, index_dir: str, query_vec: list[float], k: int = 10,
     return topk_bruteforce(part, query_vec, k, exclude_vec_id)
 
 
+#: bump when the k-means/assignment kernels or the on-disk index layout
+#: change — stale persisted indexes then rebuild instead of serving old
+#: lists (mirrors ENGINE_LAYOUT_VERSION / golden_funcs.VERSION)
+ANN_INDEX_VERSION = 1
+
+
 def ensure_ivf_index(spark, df: DataFrame, index_dir: str, k: int = 16
                      ) -> str:
-    """Build-once cache wrapper around ann_index_build (marker file)."""
+    """Build-once cache wrapper around ann_index_build. The marker records
+    the build identity (k + kernel/layout version); any mismatch rebuilds."""
     import json
+    import shutil
+    ident = {"k": k, "ann_version": ANN_INDEX_VERSION}
     marker = os.path.join(index_dir, "_INDEX_DONE.json")
     if os.path.exists(marker):
-        return index_dir
+        try:
+            with open(marker) as f:
+                if json.load(f) == ident:
+                    return index_dir
+        except (json.JSONDecodeError, OSError):
+            pass
+        shutil.rmtree(index_dir, ignore_errors=True)
     ann_index_build(spark, df, index_dir, k)
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"k": k}, f)
+        json.dump(ident, f)
     os.replace(tmp, marker)
     return index_dir
 

@@ -16,7 +16,6 @@ bumped whenever a mirrored operator's semantics change).
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 
@@ -71,15 +70,10 @@ def _expected_frame_features(clips: pd.DataFrame) -> pd.DataFrame:
 
 
 def _expected_image_stub(clips: pd.DataFrame) -> pd.DataFrame:
-    from .functions.multimodal import decode_image_stub
+    from .functions.multimodal import image_summary_record
     sub = clips[clips["clip_id"] < CLIP_SUBSET_MAX]
-    recs = []
-    for cid, raw in zip(sub["clip_id"], sub["bytes"]):
-        w, h, feat = decode_image_stub(bytes(raw))
-        f32 = np.ascontiguousarray(feat, dtype=np.float32)
-        recs.append((cid, w, h, hashlib.md5(f32.tobytes()).hexdigest(),
-                     float(np.floor(f32.astype(np.float64).mean()
-                                    * 1e6 + 0.5) / 1e6)))
+    recs = [(cid, *image_summary_record(bytes(raw)))
+            for cid, raw in zip(sub["clip_id"], sub["bytes"])]
     return pd.DataFrame(recs, columns=["clip_id", "width", "height",
                                        "feature_md5", "feature_mean"])
 
@@ -92,11 +86,8 @@ def _expected_resample_stats(clips: pd.DataFrame,
     for cid, raw, sr, codec in zip(sub["clip_id"], sub["bytes"],
                                    sub["sr_hz"], sub["codec"]):
         x = K_codec.decode_float(raw, str(codec))
-        y = K_codec.resample_linear(x, int(sr), target_hz)
-        rms = float(np.sqrt((y.astype(np.float64) ** 2).mean())) \
-            if y.shape[0] else 0.0
-        recs.append((cid, int(sr), target_hz, int(y.shape[0]),
-                     float(np.floor(rms * 1e6 + 0.5) / 1e6)))
+        n_out, rms6 = K_codec.resample_stats(x, int(sr), target_hz)
+        recs.append((cid, int(sr), target_hz, n_out, rms6))
     return pd.DataFrame(recs, columns=["clip_id", "sr_from", "sr_to",
                                        "n_samples_out", "rms_out"])
 
@@ -223,13 +214,10 @@ def _expected_ann_lsh(embs: pd.DataFrame, k: int = 10) -> pd.DataFrame:
     mat = mat32.astype(np.float64)
     vec_ids = embs["vec_id"].to_numpy().astype(np.int64)
     planes = simops.hyperplanes(n_planes, dim=mat.shape[1])
-    signs = (mat @ planes.T) > 0
-    bucket = (signs.astype(np.int32)
-              << np.arange(n_planes, dtype=np.int32)).sum(axis=1)
+    bucket = simops.sign_buckets(mat, planes)
     qi = int(np.flatnonzero(vec_ids == 0)[0])
     qv = mat[qi]
-    qbucket = int(((qv @ planes.T) > 0).astype(np.int32)
-                  @ (1 << np.arange(n_planes)))
+    qbucket = int(simops.sign_buckets(qv[None, :], planes)[0])
     qnorm = np.sqrt(_fold_dot(qv, qv))
     recs = []
     for i in np.flatnonzero(bucket == qbucket):

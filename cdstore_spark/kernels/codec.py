@@ -118,5 +118,16 @@ def resample_linear(x: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
     return np.interp(xq, xp, x.astype(np.float64)).astype(np.float32)
 
 
+def resample_stats(x: np.ndarray, sr_from: int, sr_to: int
+                   ) -> tuple[int, float]:
+    """(n_samples_out, rms_out 6-dp HALF_UP) of the resampled signal —
+    the shared record body of the Spark resample operator and its golden
+    mirror (one implementation, structurally impossible to drift)."""
+    y = resample_linear(x, sr_from, sr_to)
+    rms = float(np.sqrt((y.astype(np.float64) ** 2).mean())) \
+        if y.shape[0] else 0.0
+    return int(y.shape[0]), float(np.floor(rms * 1e6 + 0.5) / 1e6)
+
+
 def n_samples(raw_len: int, codec: str) -> int:
     return raw_len // 2 if codec == "pcm_s16le" else raw_len

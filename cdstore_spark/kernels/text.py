@@ -109,18 +109,22 @@ def lang_scores(texts, profiles: dict[str, np.ndarray]
     flat = np.concatenate(tris) if tris else np.empty(0, dtype=U64)
     offs = np.zeros(len(tris) + 1, dtype=np.int64)
     np.cumsum(counts, out=offs[1:])
+    # reduceat needs strictly valid start indices: restrict to non-empty
+    # docs (a trailing empty doc would pass start == len(flat) and raise)
+    nz = counts > 0
+    starts = offs[:-1][nz]
     langs = sorted(profiles)
     scores = np.zeros((len(tris), len(langs)), dtype=np.float64)
     for j, lg in enumerate(langs):
         prof = profiles[lg]
-        if prof.shape[0] == 0 or flat.shape[0] == 0:
+        if prof.shape[0] == 0 or flat.shape[0] == 0 or not nz.any():
             continue
         pos = np.searchsorted(prof, flat)
         hit = (pos < prof.shape[0]) & (prof[np.minimum(pos, prof.shape[0] - 1)]
                                        == flat)
-        hits_per_doc = np.add.reduceat(hit.astype(np.int64), offs[:-1]) \
-            if len(tris) else np.empty(0, np.int64)
-        hits_per_doc = np.where(counts > 0, hits_per_doc, 0)
+        hits_nz = np.add.reduceat(hit.astype(np.int64), starts)
+        hits_per_doc = np.zeros(len(tris), dtype=np.int64)
+        hits_per_doc[nz] = hits_nz
         scores[:, j] = hits_per_doc / np.maximum(counts, 1)
     best = scores.argmax(axis=1) if langs else np.zeros(len(tris), np.int64)
     return [langs[i] for i in best], scores[np.arange(len(tris)), best]

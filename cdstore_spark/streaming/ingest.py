@@ -57,7 +57,12 @@ def incremental_dedup_ingest(spark: SparkSession, input_dir: str,
             spark_l = batch_df.sparkSession
             new_bands = S_cand.explode_bands(batch_df, cfg)
             try:
-                old_feats = spark_l.read.parquet(feat_dir)
+                # match ONLY strictly-earlier epochs: a REPLAYED epoch
+                # must see exactly the index state its original run saw,
+                # or its epoch partition's pair content would differ (and
+                # pairs already owned by later epochs would duplicate)
+                old_feats = (spark_l.read.parquet(feat_dir)
+                             .where(F.col("epoch") < F.lit(int(epoch_id))))
                 have_old = len(old_feats.take(1)) > 0
             except Exception:
                 have_old = False

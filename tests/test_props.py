@@ -79,6 +79,21 @@ class TestTextKernelEdges:
         langs, scores = K_text.lang_scores(["abc"], {})
         assert langs == ["und"] and scores[0] == 0.0
 
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.sampled_from(
+        ["", "ab", "the quick brown fox", "x", "hello world text here"]),
+        min_size=1, max_size=8))
+    def test_lang_scores_empty_docs_any_position(self, texts):
+        """Regression: a no-trigram doc at the END of a batch crashed
+        reduceat (start index == flat length); empty docs must be safe in
+        ANY position and always score 0."""
+        prof = {"en": np.sort(K_text.char_trigram_hashes("the quick fox"))}
+        langs, scores = K_text.lang_scores(texts, prof)
+        assert len(langs) == len(texts)
+        for t, s in zip(texts, scores):
+            if len(K_text.char_trigram_hashes(t)) == 0:
+                assert s == 0.0
+
 
 class TestResample:
     @settings(max_examples=100, deadline=None)

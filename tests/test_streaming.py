@@ -63,14 +63,25 @@ class TestIncrementalIngest:
         q = incremental_dedup_ingest(spark, in_dir, state)
         q.awaitTermination(300)
         feat_dir = os.path.join(state, "features")
+        pair_dir = os.path.join(state, "pairs")
         n1 = spark.read.parquet(feat_dir).count()
         assert n1 == 120
+        pairs_before = sorted(map(tuple, spark.read.parquet(pair_dir)
+                                  .select("a", "b", "epoch")
+                                  .toPandas().values.tolist()))
         shutil.rmtree(os.path.join(state, "_checkpoint"))
         q2 = incremental_dedup_ingest(spark, in_dir, state)
         q2.awaitTermination(300)
         feats = spark.read.parquet(feat_dir)
         assert feats.count() == 120
         assert feats.select("clip_id").distinct().count() == 120
+        # pairs are idempotent too: each replayed epoch matches only
+        # strictly-earlier epochs, so its partition content is identical
+        # and no pair migrates into or duplicates across epochs
+        pairs_after = sorted(map(tuple, spark.read.parquet(pair_dir)
+                                 .select("a", "b", "epoch")
+                                 .toPandas().values.tolist()))
+        assert pairs_after == pairs_before
 
     def test_cross_batch_pairs_found(self, spark, staged_clips, tmp_path):
         """Planted duplicates split across arrival files must still pair up
