@@ -99,17 +99,31 @@ def lsh_buckets(df: DataFrame, n_planes: int = 8,
 
 def topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
              n_planes: int = 8, cfg: PipelineConfig = DEFAULT,
-             exclude_vec_id: int | None = None) -> DataFrame:
+             exclude_vec_id: int | None = None,
+             multiprobe: int = 0) -> DataFrame:
     """Approximate top-k: score only the query's sign bucket.
 
+    multiprobe=r additionally probes every bucket within Hamming
+    distance <= r of the query's sign pattern (the standard multi-probe
+    LSH recall/scan-fraction dial: r=1 scans (1+P)/2^P of the data
+    instead of 1/2^P while catching neighbors that flip one hyperplane).
     Recall vs brute force depends on bucket granularity; tests report it.
     """
+    from itertools import combinations
+
     planes = hyperplanes(n_planes, dim=len(query_vec), cfg=cfg)
     qv = np.asarray(query_vec, dtype=np.float64)
     qbucket = int(sign_buckets(qv[None, :], planes)[0])
+    probe = {qbucket}
+    for r in range(1, multiprobe + 1):
+        for bits in combinations(range(n_planes), r):
+            flip = qbucket
+            for b in bits:
+                flip ^= 1 << b
+            probe.add(flip)
     buckets = lsh_buckets(df, n_planes, cfg, dim=len(query_vec))
-    cand = df.join(buckets.where(F.col("bucket") == qbucket), "vec_id",
-                   "leftsemi")
+    cand = df.join(buckets.where(F.col("bucket").isin(sorted(probe))),
+                   "vec_id", "leftsemi")
     return topk_bruteforce(cand, query_vec, k, exclude_vec_id)
 
 

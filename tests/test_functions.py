@@ -61,6 +61,19 @@ class TestSimops:
         # approximate: same-bucket neighbors must overlap the exact top-k
         assert len(ap & bf) >= 1
         assert len(ap) <= 10
+        # multi-probe (Hamming<=1 buckets) is a superset of single-bucket
+        # and must not lose recall
+        mp = {r["vec_id"] for r in
+              S.topk_lsh(embs, q, 10, exclude_vec_id=0,
+                         multiprobe=1).collect()}
+        assert len(mp & bf) >= len(ap & bf)
+        # full flip radius degrades to exact brute force
+        full = [r["vec_id"] for r in
+                S.topk_lsh(embs, q, 10, exclude_vec_id=0,
+                           multiprobe=8).collect()]
+        exact = [r["vec_id"] for r in
+                 S.topk_bruteforce(embs, q, 10, exclude_vec_id=0).collect()]
+        assert full == exact
 
     def test_ivf_index_recall_on_clustered_data(self, spark, tmp_path):
         """Persisted IVF index: on data with cluster structure (the regime
