@@ -61,15 +61,22 @@ def connected_components(pairs: DataFrame, universe: DataFrame,
              .where(F.col("u") != F.col("v"))
              .distinct()
              .localCheckpoint(eager=True))   # cut upstream chain once
-    prev_sig = -1
+
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(F.count(F.lit(1)).alias("c"),
+                     F.expr("bit_xor(xxhash64(u, v))").alias("h")
+                     ).collect()[0]
+        return (row["c"], row["h"])
+
+    # convergence = output edge multiset equals the INPUT's (fixpoint of
+    # large_star∘small_star); seeding prev_sig with the initial edges'
+    # signature detects it on the first stable iteration instead of
+    # paying one extra full round to see two identical outputs
+    prev_sig = _sig(edges)
     for _ in range(max_iter):
         edges = _large_star(edges)
         edges = _small_star(edges).localCheckpoint(eager=True)
-        # convergence: edge multiset stable → its (count, hash-sum) stable
-        sig_row = edges.agg(
-            F.count(F.lit(1)).alias("c"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
-        sig = (sig_row["c"], sig_row["h"])
+        sig = _sig(edges)
         if sig == prev_sig:
             break
         prev_sig = sig
