@@ -397,6 +397,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.avg("o_totalprice"), 4).alias("avg_price")))
     q["orders_rollup"] = orders_rollup
 
+    def events_range_join(spark, sf):
+        # range join done scale-honestly: bucket timestamps to the range
+        # width and equi-join on (user, bucket) with the left side
+        # exploded over {bkt, bkt+1}, so Catalyst plans a hash join
+        # instead of the BroadcastNestedLoopJoin a raw |t1-t2|<=300 theta
+        # join degrades to. Output: per-user count of ordered event pairs
+        # within 300s.
+        e = (_t(spark, sf, "events")
+             .select("user_id", "event_id",
+                     F.unix_timestamp("ts").alias("t")))
+        lb = e.withColumn("bkt", F.floor(F.col("t") / 300))
+        left = (lb.withColumn(
+            "jb", F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)))
+            .select("user_id", F.col("event_id").alias("id1"),
+                    F.col("t").alias("t1"), "jb"))
+        right = lb.select("user_id", F.col("event_id").alias("id2"),
+                          F.col("t").alias("t2"),
+                          F.col("bkt").alias("jb"))
+        pairs = (left.join(right, ["user_id", "jb"])
+                 .where((F.col("t2") - F.col("t1")).between(0, 300)
+                        & ((F.col("t2") > F.col("t1"))
+                           | (F.col("id2") > F.col("id1"))))
+                 .select("user_id", "id1", "id2").distinct())
+        return (pairs.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_close_pairs")))
+    q["events_range_join"] = events_range_join
+
     def events_sessionization(spark, sf):
         # gap-based sessionization (30-min inactivity): lag window + running
         # sum of session-break flags — the batch formulation of streaming
@@ -819,6 +846,16 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
             WHERE EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
                             AND o_totalprice > 400000)""",
+        "events_range_join": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch(ts) AS t FROM events
+            )
+            SELECT l.user_id, count(*) AS n_close_pairs
+            FROM e l JOIN e r
+              ON l.user_id = r.user_id
+             AND r.t - l.t BETWEEN 0 AND 300
+             AND (r.t > l.t OR r.event_id > l.event_id)
+            GROUP BY l.user_id""",
         "events_sessionization": """
             WITH flagged AS (
               SELECT user_id, event_id, ts, value,

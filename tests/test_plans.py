@@ -57,3 +57,12 @@ class TestPlans:
         # sort) with groupBy + sort_array + posexplode — a Window operator
         # reappearing in the pair path is a regression
         assert "Window" not in plan
+
+    def test_range_join_is_hash_join_not_nested_loop(self, spark):
+        """The time-bucketed range join must plan as an equi hash join —
+        a raw |t1-t2|<=300 theta join degrades to a nested loop."""
+        import __spark_entry__ as E
+        df = E.queries()["events_range_join"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
