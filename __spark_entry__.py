@@ -424,6 +424,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).alias("n_close_pairs")))
     q["events_range_join"] = events_range_join
 
+    def orders_asof_event(spark, sf):
+        # as-of join done scale-honestly: tag and union both sides, one
+        # window pass per key carries the latest event forward (no
+        # per-row range probe, no nested loop). Latest event with
+        # ts <= o_orderdate per customer; ties on ts break to the larger
+        # event_id; -1 when no prior event exists.
+        from pyspark.sql import Window
+        o = (_t(spark, sf, "orders")
+             .select(F.col("o_custkey").alias("k"), "o_orderkey",
+                     F.unix_timestamp("o_orderdate").alias("t"),
+                     F.lit(1).alias("is_order"),
+                     F.lit(None).cast("long").alias("ev")))
+        e = (_t(spark, sf, "events")
+             .select(F.col("user_id").alias("k"),
+                     F.lit(None).cast("long").alias("o_orderkey"),
+                     F.unix_timestamp("ts").alias("t"),
+                     F.lit(0).alias("is_order"),
+                     F.col("event_id").cast("long").alias("ev")))
+        w = (Window.partitionBy("k")
+             .orderBy("t", "is_order", "ev")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        merged = (o.unionByName(e)
+                  .withColumn("asof", F.last("ev", ignorenulls=True).over(w)))
+        return (merged.where(F.col("is_order") == 1)
+                .select("o_orderkey",
+                        F.coalesce("asof", F.lit(-1)).alias("asof_event_id")))
+    q["orders_asof_event"] = orders_asof_event
+
     def events_sessionization(spark, sf):
         # gap-based sessionization (30-min inactivity): lag window + running
         # sum of session-break flags — the batch formulation of streaming
@@ -846,6 +874,18 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
             WHERE EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
                             AND o_totalprice > 400000)""",
+        "orders_asof_event": """
+            SELECT o.o_orderkey,
+                   COALESCE((
+                     SELECT max(e.event_id) FROM events e
+                     WHERE e.user_id = o.o_custkey
+                       AND epoch(e.ts) <= epoch(o.o_orderdate)
+                       AND epoch(e.ts) = (
+                         SELECT max(epoch(e2.ts)) FROM events e2
+                         WHERE e2.user_id = o.o_custkey
+                           AND epoch(e2.ts) <= epoch(o.o_orderdate))
+                   ), -1) AS asof_event_id
+            FROM orders o""",
         "events_range_join": """
             WITH e AS (
               SELECT user_id, event_id, epoch(ts) AS t FROM events
