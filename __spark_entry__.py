@@ -431,15 +431,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ts <= o_orderdate per customer; ties on ts break to the larger
         # event_id; -1 when no prior event exists.
         from pyspark.sql import Window
+
+        def naive_epoch(c):
+            # seconds of the NAIVE timestamp as written in parquet,
+            # independent of spark.sql.session.timeZone: cast to
+            # TIMESTAMP_NTZ (no-op when the reader already inferred NTZ;
+            # inverts the reader's session-tz conversion otherwise), then
+            # diff against an NTZ epoch literal — matches the DuckDB
+            # oracle's epoch() under ANY session timezone, where a bare
+            # unix_timestamp(TIMESTAMP) would shift order dates relative
+            # to event timestamps and flip as-of results near midnight.
+            return F.timestamp_diff(
+                "SECOND",
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                F.col(c).cast("timestamp_ntz"))
+
         o = (_t(spark, sf, "orders")
              .select(F.col("o_custkey").alias("k"), "o_orderkey",
-                     F.unix_timestamp("o_orderdate").alias("t"),
+                     naive_epoch("o_orderdate").alias("t"),
                      F.lit(1).alias("is_order"),
                      F.lit(None).cast("long").alias("ev")))
         e = (_t(spark, sf, "events")
              .select(F.col("user_id").alias("k"),
                      F.lit(None).cast("long").alias("o_orderkey"),
-                     F.unix_timestamp("ts").alias("t"),
+                     naive_epoch("ts").alias("t"),
                      F.lit(0).alias("is_order"),
                      F.col("event_id").cast("long").alias("ev")))
         w = (Window.partitionBy("k")

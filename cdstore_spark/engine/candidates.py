@@ -72,17 +72,32 @@ def candidate_pairs(feats: DataFrame, cfg: PipelineConfig = DEFAULT
     key = ["channel", "band_idx", "band_hash"]
 
     # skew stats need per-bucket sizes only — a two-level hash aggregation
-    # (map-side partial combine), independent of the pair path below
+    # (map-side partial combine), independent of the pair path below.
+    # Left-join onto a literal two-row channel frame: a channel whose band
+    # set is empty (e.g. a corpus with no text shingles) must still emit a
+    # zero row, matching the oracle (skew_stats_from_feats always emits
+    # one row per channel) on degenerate inputs.
     bucket_sizes = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("cnt"))
-    skew_stats = (bucket_sizes
-                  .groupBy("channel")
-                  .agg(F.count(F.lit(1)).alias("n_buckets"),
-                       F.max("cnt").alias("max_bucket"),
-                       F.sum(F.when(F.col("cnt") > cfg.bucket_cap,
-                                    F.ceil(F.col("cnt") / cfg.bucket_cap) - 1)
-                             .otherwise(F.lit(0))).alias("subbucket_splits"),
-                       F.sum(F.when(F.col("cnt") > cfg.bucket_soft, 1)
-                             .otherwise(0)).alias("buckets_block_split")))
+    per_channel = (bucket_sizes
+                   .groupBy("channel")
+                   .agg(F.count(F.lit(1)).alias("n_buckets"),
+                        F.max("cnt").alias("max_bucket"),
+                        F.sum(F.when(F.col("cnt") > cfg.bucket_cap,
+                                     F.ceil(F.col("cnt") / cfg.bucket_cap) - 1)
+                              .otherwise(F.lit(0))).alias("subbucket_splits"),
+                        F.sum(F.when(F.col("cnt") > cfg.bucket_soft, 1)
+                              .otherwise(0)).alias("buckets_block_split")))
+    channels = feats.sparkSession.createDataFrame(
+        [("audio",), ("text",)], "channel string")
+    zero = F.lit(0).cast("long")
+    skew_stats = (channels.join(per_channel, "channel", "left")
+                  .select("channel",
+                          F.coalesce("n_buckets", zero).alias("n_buckets"),
+                          F.coalesce("max_bucket", zero).alias("max_bucket"),
+                          F.coalesce("subbucket_splits", zero)
+                          .alias("subbucket_splits"),
+                          F.coalesce("buckets_block_split", zero)
+                          .alias("buckets_block_split")))
 
     # per-bucket member ranking via groupBy + sort_array + posexplode:
     # one hash aggregation with per-group array sorts, measured ~1.6x

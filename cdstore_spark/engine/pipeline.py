@@ -63,9 +63,10 @@ def run_pipeline(spark: SparkSession, clips_path: str, workdir: str,
         hash_cols_for_lineage=["clip_id", "simhash_audio", "simhash_text",
                                "n_events", "pcm_sha256"])
 
-    # ONE candidate_pairs invocation: the pair set and the skew stats are
-    # both checkpointed from the same plan (which shares one cached band
-    # ranking), so the expensive double-window runs once per pipeline run
+    # ONE candidate_pairs invocation: pairs and skew stats are separate
+    # plans over the same exploded-bands input (each materialized once via
+    # its own StageCheckpoint below; the bands explode itself recomputes
+    # per plan — it is a cheap narrow projection of the feature snapshot)
     pairs_plan, skew_plan = S_cand.candidate_pairs(feats, cfg)
 
     ck_cand = StageCheckpoint(workdir, "s6_candidates", 1, fp)

@@ -264,10 +264,19 @@ ANN_INDEX_VERSION = 1
 def ensure_ivf_index(spark, df: DataFrame, index_dir: str, k: int = 16
                      ) -> str:
     """Build-once cache wrapper around ann_index_build. The marker records
-    the build identity (k + kernel/layout version); any mismatch rebuilds."""
+    the build identity (k + kernel/layout version + an input content
+    fingerprint — row count and an order-insensitive xxhash64 fold over
+    (vec_id, embedding)); any mismatch rebuilds. The content fingerprint
+    is what keeps a regenerated-in-place embeddings table from being
+    silently served stale index lists (same guarantee stage_fingerprint
+    gives the audio snapshots)."""
     import json
     import shutil
-    ident = {"k": k, "ann_version": ANN_INDEX_VERSION}
+    fp = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(vec_id, embedding))").alias("h")).collect()[0]
+    ident = {"k": k, "ann_version": ANN_INDEX_VERSION,
+             "n_rows": int(fp["n"]), "content_h": int(fp["h"] or 0)}
     marker = os.path.join(index_dir, "_INDEX_DONE.json")
     if os.path.exists(marker):
         try:

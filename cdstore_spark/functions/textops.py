@@ -125,11 +125,16 @@ def prefix_candidates(g: DataFrame, threshold: float = JACCARD_THRESHOLD
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy("doc_id").orderBy(F.col("gdf").asc(),
                                              F.col("gh").asc())
+    # ceil over a 9-dp rounded product: when t*sz is mathematically an
+    # integer but the double product lands epsilon above it (arbitrary
+    # user thresholds — 0.8 happens to round clean), a raw ceil would
+    # overshoot by 1 and silently shorten the prefix, dropping qualifying
+    # pairs from the "lossless" path
+    req = F.ceil(F.round(F.lit(threshold) * F.col("sz"), 9))
     prefix = (g.join(dfreq, "gh")
               .join(sizes, "doc_id")
               .withColumn("rn", F.row_number().over(w))
-              .where(F.col("rn") <= F.col("sz")
-                     - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+              .where(F.col("rn") <= F.col("sz") - req + 1)
               .select("doc_id", "gh"))
     return (prefix.alias("l")
             .join(prefix.alias("r"), F.col("l.gh") == F.col("r.gh"))

@@ -77,6 +77,26 @@ class TestEngineMatchesOracle:
         assert set(s["channel"]) == {"audio", "text"}
         assert (s["max_bucket"] >= 1).all()
 
+    def test_skew_stats_degenerate_empty_channel(self, spark, smoke_golden):
+        # a corpus with NO text shingles anywhere: the engine must still
+        # emit a zero row for the text channel, exactly like the oracle
+        from cdstore_spark import oracle
+        from cdstore_spark.engine import candidates as S_cand
+        from cdstore_spark.kernels import clipfeat as K_clip
+        clips = (pd.read_parquet(os.path.join(smoke_golden,
+                                              "audio_clips.parquet"))
+                 .head(8).copy())
+        clips["transcript"] = ""          # kill the text channel
+        exp = (oracle.skew_stats_from_feats(
+            K_clip.featurize_batch(clips, CFG), CFG)
+            .sort_values("channel").reset_index(drop=True))
+        assert (exp[exp["channel"] == "text"]["n_buckets"] == 0).all()
+        sdf = S_feat.featurize(spark.createDataFrame(clips), CFG)
+        _, skew = S_cand.candidate_pairs(sdf, CFG)
+        got = (skew.toPandas().sort_values("channel")
+               .reset_index(drop=True).astype(exp.dtypes))
+        pd.testing.assert_frame_equal(got, exp)
+
 
 class TestConnectedComponents:
     @pytest.mark.parametrize("seed", [0, 1, 2])
