@@ -1,0 +1,100 @@
+"""Generic skew-bounded bucket → candidate-pair enumeration.
+
+One implementation of the two-layer skew split that every LSH-style
+candidate join in the repo shares (factored out of the audio candidate
+stage so the document MinHash-LSH and SimHash block joins get the same
+10^12-scale bound instead of an uncapped band self-join):
+
+1. **Sub-bucket split + representative chain** (`cap`): a bucket of m
+   members is partitioned — in deterministic sorted-member order — into
+   sub-buckets of <= cap; pairs are enumerated within each sub-bucket and
+   the first member of sub-bucket 0 is paired with the first member of
+   every other sub-bucket. Pair count is O(m * cap) — LINEAR in bucket
+   size — while a true duplicate block still forms ONE connected
+   component after verification + union-find. A million-member
+   exact-duplicate group (the common case in any real 100 TB corpus)
+   therefore cannot produce an O(m²) shuffle explosion.
+2. **Triangle block split** (`soft`): each sub-bucket above `soft`
+   members is split into g = ceil(size/soft) blocks; each (i <= j) block
+   pair becomes its own join key, fanning a hot bucket over g(g+1)/2
+   shuffle partitions instead of one reducer. Every pair is enumerated
+   exactly once (cross pairs appear only under key (block(a) <=
+   block(b)); canonicalization is least/greatest, not an a<b filter,
+   because block assignment does not preserve member order).
+
+Buckets smaller than `cap` enumerate ALL their pairs — at contract/test
+scale (buckets << cap) the output is exactly the naive self-join's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def capped_bucket_pairs(rows: DataFrame, key: list[str], member: str,
+                        cap: int, soft: int) -> DataFrame:
+    """(key..., member) rows → (key..., a, b) canonical candidate pairs.
+
+    `member` may be an atomic orderable column or a struct whose FIRST
+    field is a unique sort key — sort_array / least / greatest order
+    structs lexicographically by leading field, so enumeration matches
+    the single-node mirrors (oracle.candidate_pairs_from_feats) that
+    sort members the same way. Column names `members cnt rn rn0 sub
+    sub_rn sub_size g blk i j a b` are reserved for internal use and
+    must not appear in `key`.
+    """
+    grp = (rows.groupBy(*key)
+           .agg(F.sort_array(F.collect_list(member)).alias("members"))
+           .where(F.size("members") > 1))
+
+    # layer 1: sub-bucket split (linear skew bound) — sub index + size.
+    # localCheckpoint: four downstream branches (triangle left/right, rep
+    # chain rep0/reps) would otherwise each recompute the aggregation
+    kept = (grp.select(*key, F.size("members").alias("cnt"),
+                       F.posexplode("members").alias("rn0", "m"))
+            .withColumn("rn", F.col("rn0") + 1)
+            .withColumn("sub", (F.col("rn0") / F.lit(cap)).cast("int"))
+            .withColumn("sub_rn", F.col("rn0") % F.lit(cap))
+            .withColumn("sub_size",
+                        F.least(F.col("cnt") - F.col("sub") * cap,
+                                F.lit(cap)))
+            .drop("rn0")
+            .localCheckpoint(eager=False))
+
+    # layer 2: triangle block split within each sub-bucket
+    blocked = (kept
+               .withColumn("g", F.ceil(F.col("sub_size")
+                                       / F.lit(soft)).cast("int"))
+               .withColumn("blk", (F.col("sub_rn") % F.col("g")).cast("int"))
+               .select(*key, "m", "sub", "g", "blk"))
+    left = (blocked.withColumn("j", F.explode(F.sequence(F.col("blk"),
+                                                         F.col("g") - 1)))
+            .select(*key, "sub", F.col("blk").alias("i"), "j",
+                    F.col("m").alias("a")))
+    right = (blocked.withColumn("i", F.explode(F.sequence(F.lit(0),
+                                                          F.col("blk"))))
+             .select(*key, "sub", "i", F.col("blk").alias("j"),
+                     F.col("m").alias("b")))
+    join_key = key + ["sub", "i", "j"]
+    # canonicalize with least/greatest, NOT an a<b filter: a cross-block
+    # pair materializes in exactly one orientation (left block i <= right
+    # block j), and block assignment (rn % g) does not preserve member
+    # order — an a<b filter would silently drop half the cross-block pairs
+    raw_pairs = (left.join(right, on=join_key, how="inner")
+                 .where(F.col("a") != F.col("b"))
+                 .select(*key,
+                         F.least("a", "b").alias("a"),
+                         F.greatest("a", "b").alias("b")))
+
+    # representative chain: first member of sub 0 ↔ first member of sub > 0
+    rep0 = (kept.where(F.col("rn") == 1)
+            .select(*key, F.col("m").alias("ra")))
+    reps = (kept.where((F.col("sub_rn") == 0) & (F.col("sub") > 0))
+            .select(*key, F.col("m").alias("rb")))
+    chain = (rep0.join(reps, on=key, how="inner")
+             .select(*key,
+                     F.least("ra", "rb").alias("a"),
+                     F.greatest("ra", "rb").alias("b")))
+
+    return raw_pairs.unionByName(chain)

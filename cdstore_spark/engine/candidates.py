@@ -5,7 +5,9 @@ This is the shuffle heart of the pipeline — the graft analog of CDStore's
 fingerprint-batch → server-index lookup (SURVEY.md §2.A ops 9–10), where the
 network round-trip becomes a shuffle on the band key.
 
-Skew is handled explicitly, as the north rule demands, in two layers:
+Skew is handled explicitly, as the north rule demands, in two layers —
+both implemented once in bucket_pairs.capped_bucket_pairs and shared with
+the document-channel MinHash-LSH / SimHash candidate joins:
 
 1. **Sub-bucket split + representative chain** (bucket_cap): a (channel,
    band, hash) bucket of m members is partitioned — in deterministic
@@ -41,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, PipelineConfig
+from .bucket_pairs import capped_bucket_pairs
 
 
 def explode_bands(feats: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
@@ -99,71 +102,19 @@ def candidate_pairs(feats: DataFrame, cfg: PipelineConfig = DEFAULT
                           F.coalesce("buckets_block_split", zero)
                           .alias("buckets_block_split")))
 
-    # per-bucket member ranking via groupBy + sort_array + posexplode:
-    # one hash aggregation with per-group array sorts, measured ~1.6x
-    # faster than the equivalent double window (exchange + full partition
-    # sort) at 6.4M band rows — identical (rn, cnt) by construction since
-    # members are sorted clip_id order, matching the oracle's capping order.
-    # Memory bound: collect_list buffers one bucket's members in one agg
-    # buffer (~10 B/member) — fine to ~10^7 members/bucket; a bucket hot
-    # enough to breach that is already generating O(m*cap) pairs and needs
-    # an upstream policy cap (drop + skew_stats accounting), not a sort
-    grp = (bands.groupBy(*key)
-           .agg(F.sort_array(F.collect_list("clip_id")).alias("members"))
-           .where(F.size("members") > 1))
-
-    # layer 1: sub-bucket split (linear skew bound) — sub index + size.
-    # localCheckpoint: four downstream branches (triangle left/right, rep
-    # chain rep0/reps) would otherwise each recompute the aggregation
-    kept = (grp.select(*key, F.size("members").alias("cnt"),
-                       F.posexplode("members").alias("rn0", "clip_id"))
-            .withColumn("rn", F.col("rn0") + 1)
-            .withColumn("sub", (F.col("rn0") / F.lit(cfg.bucket_cap))
-                        .cast("int"))
-            .withColumn("sub_rn", F.col("rn0") % F.lit(cfg.bucket_cap))
-            .withColumn("sub_size",
-                        F.least(F.col("cnt") - F.col("sub") * cfg.bucket_cap,
-                                F.lit(cfg.bucket_cap)))
-            .drop("rn0")
-            .localCheckpoint(eager=False))
-
-    # layer 2: triangle block split within each sub-bucket
-    blocked = (kept
-               .withColumn("g", F.ceil(F.col("sub_size")
-                                       / F.lit(cfg.bucket_soft)).cast("int"))
-               .withColumn("blk", (F.col("sub_rn") % F.col("g")).cast("int"))
-               .select(*key, "clip_id", "sub", "g", "blk"))
-    left = (blocked.withColumn("j", F.explode(F.sequence(F.col("blk"),
-                                                         F.col("g") - 1)))
-            .select(*key, "sub", F.col("blk").alias("i"), "j",
-                    F.col("clip_id").alias("a")))
-    right = (blocked.withColumn("i", F.explode(F.sequence(F.lit(0),
-                                                          F.col("blk"))))
-             .select(*key, "sub", "i", F.col("blk").alias("j"),
-                     F.col("clip_id").alias("b")))
-    join_key = key + ["sub", "i", "j"]
-    # canonicalize with least/greatest, NOT an a<b filter: a cross-block
-    # pair materializes in exactly one orientation (left block i <= right
-    # block j), and block assignment (rn % g) does not preserve clip_id
-    # order — an a<b filter would silently drop half the cross-block pairs
-    raw_pairs = (left.join(right, on=join_key, how="inner")
-                 .where(F.col("a") != F.col("b"))
-                 .select("channel",
-                         F.least("a", "b").alias("a"),
-                         F.greatest("a", "b").alias("b")))
-
-    # representative chain: first member of sub 0 ↔ first member of sub > 0
-    rep0 = (kept.where(F.col("rn") == 1)
-            .select(*key, F.col("clip_id").alias("ra")))
-    reps = (kept.where((F.col("sub_rn") == 0) & (F.col("sub") > 0))
-            .select(*key, F.col("clip_id").alias("rb")))
-    chain = (rep0.join(reps, on=key, how="inner")
-             .select("channel",
-                     F.least("ra", "rb").alias("a"),
-                     F.greatest("ra", "rb").alias("b")))
-
-    pairs = (raw_pairs.unionByName(chain)
-             .groupBy("a", "b")
+    # the two-layer skew split itself lives in bucket_pairs.py (shared with
+    # the document MinHash-LSH / SimHash joins). Per-bucket member ranking
+    # is groupBy + sort_array + posexplode: one hash aggregation with
+    # per-group array sorts, measured ~1.6x faster than the equivalent
+    # double window at 6.4M band rows — identical (rn, cnt) by construction
+    # since members are sorted clip_id order, matching the oracle's capping
+    # order. Memory bound: collect_list buffers one bucket's members in one
+    # agg buffer (~10 B/member) — fine to ~10^7 members/bucket; a bucket
+    # hot enough to breach that is already generating O(m*cap) pairs and
+    # needs an upstream policy cap, not a sort.
+    raw = capped_bucket_pairs(bands, key, "clip_id",
+                              cap=cfg.bucket_cap, soft=cfg.bucket_soft)
+    pairs = (raw.groupBy("a", "b")
              .agg(F.max(F.when(F.col("channel") == "audio", True)
                         .otherwise(False)).alias("from_audio"),
                   F.max(F.when(F.col("channel") == "text", True)

@@ -246,17 +246,26 @@ def minhash_lsh_pairs(df: DataFrame, cfg: PipelineConfig = DEFAULT,
     """MinHash-LSH near-dup pairs: band-collision candidates, then exact
     n-gram Jaccard >= threshold on survivors only. Output == jaccard_pairs
     up to the documented ~5e-9 LSH miss probability, which is what lets the
-    DuckDB exact-Jaccard self-join serve as its oracle."""
+    DuckDB exact-Jaccard self-join serve as its oracle.
+
+    Skew bound: band buckets are enumerated through the same sub-bucket +
+    triangle split as the audio candidate join (engine/bucket_pairs.py),
+    so a band bucket of m members yields O(m·bucket_cap) candidates
+    instead of O(m²) — on a dup-heavy corpus (a million identical docs
+    all land in one (band_idx, bh) bucket) the candidate join stays
+    linear. Below bucket_cap members every within-bucket pair is
+    enumerated, so the exact-Jaccard oracle holds whenever no bucket
+    exceeds the cap; above it, the representative chain keeps each
+    duplicate group one connected component, so the downstream cluster
+    decision (doc_dedup_clusters) is unaffected while the PAIR list is
+    the documented linear skew-bounded subset."""
+    from ..engine.bucket_pairs import capped_bucket_pairs
     sigs = doc_signatures(df, cfg)
     bands = sigs.select("doc_id",
                         F.posexplode("bands").alias("band_idx", "bh"))
-    cand = (bands.alias("l")
-            .join(bands.alias("r"),
-                  (F.col("l.band_idx") == F.col("r.band_idx"))
-                  & (F.col("l.bh") == F.col("r.bh"))
-                  & (F.col("l.doc_id") < F.col("r.doc_id")))
-            .select(F.col("l.doc_id").alias("a"),
-                    F.col("r.doc_id").alias("b"))
+    cand = (capped_bucket_pairs(bands, ["band_idx", "bh"], "doc_id",
+                                cap=cfg.bucket_cap, soft=cfg.bucket_soft)
+            .select("a", "b")
             .distinct())
     # exact Jaccard ONLY on the band-collision survivors (round 1 computed
     # the full exact join and semi-joined after — LSH was pure overhead)
@@ -274,23 +283,26 @@ def simhash_hamming_pairs(df: DataFrame, cfg: PipelineConfig = DEFAULT,
     scale-sane on pre-partitioned corpora (e.g. within a `source`); it is
     included for parity with SimHash-based dedup literature, while the
     MinHash-LSH path is the 10^12-scale citizen. Output: (a, b, hamming).
+
+    Block buckets go through the shared sub-bucket + triangle skew split
+    (engine/bucket_pairs.py) — the member is a (doc_id, simhash) struct
+    (sorted/canonicalized by its unique leading doc_id), so the hamming
+    distance is computed from the pair row itself with no re-join.
     """
+    from ..engine.bucket_pairs import capped_bucket_pairs
     sigs = doc_signatures(df, cfg)
     blocks = sigs.select(
-        "doc_id", "simhash",
+        F.struct(F.col("doc_id"), F.col("simhash")).alias("ms"),
         F.posexplode(F.array(*[
             F.shiftrightunsigned(F.col("simhash"), k * 16)
             .bitwiseAND(F.lit(0xFFFF)) for k in range(4)
         ])).alias("block_idx", "block_key"))
-    cand = (blocks.alias("l")
-            .join(blocks.alias("r"),
-                  (F.col("l.block_idx") == F.col("r.block_idx"))
-                  & (F.col("l.block_key") == F.col("r.block_key"))
-                  & (F.col("l.doc_id") < F.col("r.doc_id")))
-            .select(F.col("l.doc_id").alias("a"),
-                    F.col("r.doc_id").alias("b"),
-                    F.bit_count(F.col("l.simhash")
-                                .bitwiseXOR(F.col("r.simhash")))
+    cand = (capped_bucket_pairs(blocks, ["block_idx", "block_key"], "ms",
+                                cap=cfg.bucket_cap, soft=cfg.bucket_soft)
+            .select(F.col("a.doc_id").alias("a"),
+                    F.col("b.doc_id").alias("b"),
+                    F.bit_count(F.col("a.simhash")
+                                .bitwiseXOR(F.col("b.simhash")))
                     .alias("hamming"))
             .distinct()
             .where(F.col("hamming") <= max_bits))

@@ -12,8 +12,25 @@ import duckdb
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
+
+
+def _mirror_capped_pairs(members, cap) -> set[tuple]:
+    """Single-process mirror of the capped_bucket_pairs enumeration for one
+    bucket (same loop as oracle.candidate_pairs_from_feats): within-sub-
+    bucket pairs over sorted members + the representative chain."""
+    ms = sorted(members)
+    out: set[tuple] = set()
+    for s in range(0, len(ms), cap):
+        sub = ms[s: s + cap]
+        for i in range(len(sub)):
+            for j in range(i + 1, len(sub)):
+                out.add((sub[i], sub[j]))
+        if s > 0:
+            out.add(tuple(sorted((ms[0], ms[s]))))
+    return out
 VIEWS = ["documents", "embeddings", "lineitem", "orders", "customer",
          "supplier", "nation", "region", "part", "events"]
 
@@ -173,6 +190,58 @@ class TestMultimodal:
             out2.sort_values("clip_id").reset_index(drop=True))
 
 
+class TestBucketPairs:
+    """The shared skew-bounded enumerator (engine/bucket_pairs.py)."""
+
+    def test_exact_below_cap(self, spark):
+        # buckets smaller than cap enumerate ALL pairs — the naive join's
+        # output, which is what keeps the exact-oracle contract rows valid
+        from cdstore_spark.engine.bucket_pairs import capped_bucket_pairs
+        rows = [(k, f"m{k:02d}_{i:03d}") for k in range(5)
+                for i in range(2 + 4 * k)]
+        df = spark.createDataFrame(rows, "k int, member string")
+        got = set(map(tuple, capped_bucket_pairs(df, ["k"], "member",
+                                                 cap=64, soft=16)
+                      .select("a", "b").toPandas().values))
+        exp = set()
+        for k in range(5):
+            exp |= _mirror_capped_pairs(
+                [f"m{k:02d}_{i:03d}" for i in range(2 + 4 * k)], 64)
+        assert got == exp
+
+    def test_hot_bucket_linear_and_connected(self, spark):
+        from cdstore_spark.engine.bucket_pairs import capped_bucket_pairs
+        from cdstore_spark.kernels import unionfind
+        m, cap = 600, 64
+        members = [f"d{i:04d}" for i in range(m)]
+        df = spark.createDataFrame([(0, x) for x in members],
+                                   "k int, member string")
+        got = set(map(tuple, capped_bucket_pairs(df, ["k"], "member",
+                                                 cap=cap, soft=16)
+                      .select("a", "b").toPandas().values))
+        assert got == _mirror_capped_pairs(members, cap)
+        assert len(got) <= m * cap                   # linear bound
+        assert len(got) < m * (m - 1) // 2 / 4       # ≪ quadratic
+        comp = unionfind.components(list(got), members)
+        assert len(set(comp.values())) == 1          # still one component
+
+    def test_doc_lsh_and_simhash_plans_have_no_window(self, spark):
+        # regression guard (mirrors test_plans.py's audio-path guard): the
+        # doc candidate joins must keep the groupBy+sort_array enumeration
+        # — a Window reappearing means the double-window plan regressed;
+        # the shuffle must hash-partition on the band/block key
+        from cdstore_spark.functions import textops as X
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        for dfq, key in ((X.minhash_lsh_pairs(docs), "bh"),
+                         (X.simhash_hamming_pairs(docs), "block_key")):
+            plan = dfq._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("extended"))
+            assert "Window" not in plan
+            assert "hashpartitioning" in plan
+            assert key in plan
+
+
 class TestTextops:
     def test_simhash_pairs_subset_of_jaccardish(self, spark):
         from cdstore_spark.functions import textops as X
@@ -244,6 +313,35 @@ class TestTextops:
         assert (out.loc[[0, 1, 2], "lang_pred"] == "en").all()
         assert (out.loc[[100, 101, 102], "lang_pred"] == "de").all()
         assert (out["lang_score"] > 0).all()
+
+    def test_minhash_lsh_hot_band_stays_linear(self, spark):
+        """Planted hot band: 300 identical docs all collide in one
+        (band_idx, bh) bucket per band. The shared sub-bucket/triangle
+        split must keep the candidate (and thus the confirmed-pair)
+        count LINEAR in bucket size — O(m·cap), not O(m²) — while the
+        representative chain keeps the duplicate group one connected
+        component for the cluster decision."""
+        import dataclasses
+
+        from cdstore_spark.config import DEFAULT
+        from cdstore_spark.engine.cluster import connected_components
+        from cdstore_spark.functions import textops as X
+        cfg = dataclasses.replace(DEFAULT, bucket_cap=16, bucket_soft=8)
+        m = 300
+        text = " ".join(f"w{j}" for j in range(24))
+        rows = [(i, text, "en", "s", 0) for i in range(m)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+                  " n_chars long")
+        pairs = X.minhash_lsh_pairs(df, cfg).toPandas()
+        got = set(map(tuple, pairs[["a", "b"]].values))
+        assert got == _mirror_capped_pairs(range(m), 16)   # linear, exact
+        assert len(got) <= m * 16                          # O(m·cap)
+        assert len(got) < m * (m - 1) // 2 / 4             # ≪ O(m²)
+        clus = connected_components(
+            spark.createDataFrame(pairs[["a", "b"]]),
+            df.select(F.col("doc_id").alias("clip_id"))).toPandas()
+        assert (clus["cluster_id"] == 0).all()             # one component
 
     def test_lang_id_matches_golden_mirror(self, spark):
         """Distributed profile build + scoring == the single-node mirror."""
