@@ -3,14 +3,25 @@
 incremental_dedup_ingest:
     file-source stream of clip rows → Arrow featurize (the same shared
     kernel as batch) → foreachBatch: match the micro-batch's LSH band rows
-    against the persisted band index (new-vs-old anti/inner joins — the
-    streaming analog of CDStore's fingerprint-batch → server-index lookup,
-    SURVEY.md §2.A op 9), append features + discovered candidate pairs.
+    against a PERSISTED band index (the streaming analog of CDStore's
+    fingerprint-batch → server-index lookup, SURVEY.md §2.A op 9), append
+    features + band rows + discovered candidate pairs.
+
+    The band index is its own compact parquet table — (channel, band_idx,
+    band_hash, clip_id) rows, partitioned by (epoch, bp) where bp is a
+    band-hash prefix bucket — so a micro-batch's lookup reads ONLY the
+    index partitions whose prefixes its own bands probe, never the
+    accumulated feature rows (whose multi-KB event/transcript payloads
+    would make per-batch matching O(total history bytes)). Per-batch match
+    cost is therefore O(colliding index buckets), independent of the size
+    of the feature store.
+
     Exactly-once by Structured Streaming checkpointing + IDEMPOTENT
     epoch-partitioned writes: every output is partitioned by epoch and
     written with dynamic partition overwrite, so a micro-batch retried
     after a partial write replaces its own epoch partition instead of
-    appending duplicates.
+    appending duplicates; a replayed epoch matches only strictly-earlier
+    epochs, so it regenerates exactly its original pairs.
 
 windowed_event_counts:
     watermark + tumbling-window aggregation over the driver's `events`
@@ -29,6 +40,35 @@ from ..config import DEFAULT, PipelineConfig
 from ..engine import candidates as S_cand
 from ..engine import featurize as S_feat
 
+#: band-hash prefix buckets of the persisted index — the partition grain a
+#: lookup prunes on. 16 keeps directory counts sane at sandbox scale; on a
+#: real cluster this scales with executor count (it bounds lookup fan-in)
+BAND_INDEX_BUCKETS = 16
+
+#: bump when the streaming state layout changes (feature/band/pair dirs,
+#: partitioning) — ensure_incremental_run then rebuilds instead of serving
+#: a stale-layout cache. Independent of ENGINE_LAYOUT_VERSION, which tracks
+#: featurize schema/semantics.
+STREAM_LAYOUT_VERSION = 2
+
+
+def _with_bp(bands: DataFrame) -> DataFrame:
+    return bands.withColumn(
+        "bp", F.pmod(F.col("band_hash"),
+                     F.lit(BAND_INDEX_BUCKETS)).cast("int"))
+
+
+def band_index_lookup(spark: SparkSession, band_dir: str, epoch_id: int,
+                      bps: list[int]) -> DataFrame:
+    """Reader over the persisted band index restricted to strictly-earlier
+    epochs and the probed hash-prefix buckets. Both predicates are on
+    partition columns, so they prune at the FILE level (partition
+    discovery) — the lookup never scans unprobed buckets or the current/
+    later epochs (replay safety)."""
+    return (spark.read.parquet(band_dir)
+            .where((F.col("epoch") < F.lit(int(epoch_id)))
+                   & (F.col("bp").isin([int(b) for b in bps]))))
+
 
 def incremental_dedup_ingest(spark: SparkSession, input_dir: str,
                              state_dir: str,
@@ -37,12 +77,17 @@ def incremental_dedup_ingest(spark: SparkSession, input_dir: str,
     """Start the incremental ingest stream; returns the StreamingQuery.
 
     state_dir/features: accumulated feature rows (parquet, epoch-tagged)
+    state_dir/bands:    the persisted band index — compact (channel,
+                        band_idx, band_hash, clip_id) rows partitioned by
+                        (epoch, bp band-hash prefix); what lookups read
     state_dir/pairs:    accumulated candidate pairs
     state_dir/_checkpoint: Structured Streaming WAL/commit log
     """
     feat_dir = os.path.join(state_dir, "features")
+    band_dir = os.path.join(state_dir, "bands")
     pair_dir = os.path.join(state_dir, "pairs")
     os.makedirs(feat_dir, exist_ok=True)
+    os.makedirs(band_dir, exist_ok=True)
     os.makedirs(pair_dir, exist_ok=True)
 
     stream = (spark.readStream
@@ -53,49 +98,68 @@ def incremental_dedup_ingest(spark: SparkSession, input_dir: str,
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df = batch_df.persist()
+        new_bands = None
         try:
             spark_l = batch_df.sparkSession
-            new_bands = S_cand.explode_bands(batch_df, cfg)
-            try:
-                # match ONLY strictly-earlier epochs: a REPLAYED epoch
-                # must see exactly the index state its original run saw,
-                # or its epoch partition's pair content would differ (and
-                # pairs already owned by later epochs would duplicate)
-                old_feats = (spark_l.read.parquet(feat_dir)
-                             .where(F.col("epoch") < F.lit(int(epoch_id))))
-                have_old = len(old_feats.take(1)) > 0
-            except Exception:
-                have_old = False
-            if have_old:
-                old_bands = S_cand.explode_bands(old_feats, cfg)
-                key = ["channel", "band_idx", "band_hash"]
-                # new-vs-old: inner join on band key (index lookup);
-                # new-vs-new: within-batch pairs via the batch engine path
-                cross = (new_bands.alias("n")
-                         .join(old_bands.alias("o"), on=key, how="inner")
-                         .select(F.least("n.clip_id", "o.clip_id").alias("a"),
-                                 F.greatest("n.clip_id", "o.clip_id").alias("b"),
-                                 "channel")
-                         .where(F.col("a") != F.col("b")))
-            else:
-                cross = None
+            new_bands = _with_bp(S_cand.explode_bands(batch_df, cfg)).persist()
+            # the prefix buckets this batch probes — a tiny collect
+            # (<= BAND_INDEX_BUCKETS values) that drives partition pruning
+            bps = [r["bp"] for r in
+                   new_bands.select("bp").distinct().collect()]
+            cross = None
+            if bps:
+                try:
+                    # match ONLY strictly-earlier epochs: a REPLAYED epoch
+                    # must see exactly the index state its original run
+                    # saw, or its epoch partition's pair content would
+                    # differ (and pairs already owned by later epochs
+                    # would duplicate). Reads the compact band index, NOT
+                    # the feature store — per-batch match cost is bounded
+                    # by the colliding index buckets, independent of how
+                    # many epochs of multi-KB feature payloads exist.
+                    old_bands = band_index_lookup(spark_l, band_dir,
+                                                  int(epoch_id), bps)
+                    have_old = len(old_bands.take(1)) > 0
+                except Exception:
+                    have_old = False
+                if have_old:
+                    key = ["channel", "band_idx", "band_hash"]
+                    # new-vs-old: inner join on band key (index lookup);
+                    # new-vs-new: within-batch pairs via the batch engine
+                    cross = (new_bands.alias("n")
+                             .join(old_bands.alias("o"), on=key, how="inner")
+                             .select(F.least("n.clip_id", "o.clip_id")
+                                     .alias("a"),
+                                     F.greatest("n.clip_id", "o.clip_id")
+                                     .alias("b"))
+                             .where(F.col("a") != F.col("b")))
             within, _ = S_cand.candidate_pairs(batch_df, cfg)
             pairs = within.select("a", "b")
             if cross is not None:
-                pairs = pairs.unionByName(
-                    cross.select("a", "b")).distinct()
+                pairs = pairs.unionByName(cross).distinct()
             # idempotent: overwrite THIS epoch's partition only — a retry
-            # (crash between the two writes, or before the streaming
-            # commit) replaces its own rows instead of duplicating them
+            # (crash between writes, or before the streaming commit)
+            # replaces its own rows instead of duplicating them
             (pairs.withColumn("epoch", F.lit(int(epoch_id)))
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("epoch").parquet(pair_dir))
+            # repartition by bp → exactly one index file per (epoch, bp)
+            # partition per batch, instead of shuffle-partition-many tiny
+            # files (small-file fragmentation is what kills index lookups
+            # at scale)
+            (new_bands.withColumn("epoch", F.lit(int(epoch_id)))
+             .repartition("bp")
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch", "bp").parquet(band_dir))
             (batch_df.withColumn("epoch", F.lit(int(epoch_id)))
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("epoch").parquet(feat_dir))
         finally:
+            if new_bands is not None:
+                new_bands.unpersist()
             batch_df.unpersist()
 
     writer = (feats_stream.writeStream
@@ -131,11 +195,13 @@ def ensure_incremental_run(spark: SparkSession, tier: str = "correctness",
     if os.path.exists(marker):
         try:
             with open(marker) as f:
-                if json.load(f).get("layout") == ENGINE_LAYOUT_VERSION:
+                m = json.load(f)
+                if (m.get("layout") == ENGINE_LAYOUT_VERSION
+                        and m.get("stream_layout") == STREAM_LAYOUT_VERSION):
                     return state
         except (json.JSONDecodeError, OSError):
             pass
-        # stale layout (featurize schema changed) — rebuild from scratch
+        # stale layout (featurize schema or state layout changed) — rebuild
     shutil.rmtree(state, ignore_errors=True)
     input_dir = os.path.join(state, "input")
     os.makedirs(input_dir, exist_ok=True)
@@ -153,7 +219,8 @@ def ensure_incremental_run(spark: SparkSession, tier: str = "correctness",
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"tier": tier, "n_files": n_files,
-                   "layout": ENGINE_LAYOUT_VERSION}, f)
+                   "layout": ENGINE_LAYOUT_VERSION,
+                   "stream_layout": STREAM_LAYOUT_VERSION}, f)
     os.replace(tmp, marker)
     return state
 

@@ -83,6 +83,62 @@ class TestIncrementalIngest:
                                  .toPandas().values.tolist()))
         assert pairs_after == pairs_before
 
+    def test_band_index_lookup_prunes_partitions(self, spark, staged_clips,
+                                                 tmp_path):
+        """The per-batch match must read the compact band index — pruned
+        to strictly-earlier epochs and the probed hash-prefix buckets —
+        and never the accumulated feature payloads."""
+        from cdstore_spark.streaming.ingest import (
+            BAND_INDEX_BUCKETS, band_index_lookup, incremental_dedup_ingest)
+        _, src = staged_clips
+        # stage 8 arrival files so maxFilesPerTrigger=4 yields >= 2 epochs
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from cdstore_spark.golden import _CLIPS_SCHEMA
+        in_dir = tmp_path / "incoming8"
+        in_dir.mkdir()
+        for i in range(8):
+            part = src.iloc[i * 15:(i + 1) * 15]
+            pq.write_table(pa.Table.from_pandas(part, schema=_CLIPS_SCHEMA,
+                                                preserve_index=False),
+                           str(in_dir / f"arrival_{i}.parquet"))
+        state = str(tmp_path / "state4")
+        q = incremental_dedup_ingest(spark, str(in_dir), state)
+        q.awaitTermination(300)
+        band_dir = os.path.join(state, "bands")
+        feat_dir = os.path.join(state, "features")
+
+        # the index is narrow: band key + clip_id only (no event/payload
+        # columns — those live in features, which lookups never touch)
+        idx = spark.read.parquet(band_dir)
+        assert set(idx.columns) == {"channel", "band_idx", "band_hash",
+                                    "clip_id", "epoch", "bp"}
+        n_epochs = idx.select("epoch").distinct().count()
+        assert n_epochs >= 2          # several micro-batches accumulated
+
+        # partition pruning: a lookup for epoch 1 probing one bucket must
+        # plan both predicates as PartitionFilters on the file scan (file-
+        # level pruning; inputFiles() lists pre-pruning so is no evidence)
+        look = band_index_lookup(spark, band_dir, 1, [3])
+        plan = look._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters")[1].splitlines()[0]
+        assert "epoch" in pf and "bp" in pf, pf
+        got = look.toPandas()
+        assert (got["epoch"] == 0).all()
+        assert (got["band_hash"].astype("int64") % 16 == 3).all()
+        assert "/features/" not in plan
+
+        # one file per (epoch, bp) partition: the per-batch repartition(bp)
+        # keeps the index from fragmenting into shuffle-partition-many
+        # tiny files (at 10^12 scale small files kill the lookup)
+        import glob
+        for d in glob.glob(os.path.join(band_dir, "epoch=*", "bp=*")):
+            n_parts = len(glob.glob(os.path.join(d, "*.parquet")))
+            assert n_parts == 1, (d, n_parts)
+        assert 0 < len(spark.read.parquet(band_dir)
+                       .select("bp").distinct().toPandas()) \
+            <= BAND_INDEX_BUCKETS
+
     def test_cross_batch_pairs_found(self, spark, staged_clips, tmp_path):
         """Planted duplicates split across arrival files must still pair up
         (new-vs-old band index join)."""
