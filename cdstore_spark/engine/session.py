@@ -14,10 +14,11 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "cdstore-spark", parallelism: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
     cores = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = shuffle_partitions or max(2 * cores, 32)
-    return (
+    b = (
         SparkSession.builder
         .appName(app)
         .master(f"local[{cores}]")
@@ -37,5 +38,7 @@ def get_spark(app: str = "cdstore-spark", parallelism: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -127,48 +127,76 @@ def unpack_events(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return ev, ms, zcr
 
 
+def verify_audio_pair(ev_a: np.ndarray, ms_a: np.ndarray, zcr_a: np.ndarray,
+                      ev_b: np.ndarray, zcr_b: np.ndarray,
+                      cfg: PipelineConfig) -> tuple[bool, float]:
+    """Audio-channel suffix-array confirmation — a pure function of the two
+    event streams (CONTENT-determined: every candidate pair with the same
+    packed event contents gets the same answer, which is what lets the
+    engine run it once per distinct oriented content pair).
+
+    Requires (a) a common event run of >= verify_min_events covering >=
+    verify_min_audio_ms, AND (b) carrier consistency: the median |log2 ZCR|
+    gap over the matched run <= verify_zcr_log2_tol — rejects unrelated
+    clips whose quantized envelopes coincide by chance while keeping noise/
+    gain/codec perturbations, whose carriers are unchanged.
+
+    NOTE span_ms sums the A side's durations over the matched run — the
+    result is NOT symmetric under (a, b) swap near the span threshold, so
+    callers must preserve pair orientation. Returns (audio_ok, span_ms).
+    """
+    from . import suffix as K_suffix
+
+    if ev_a.shape[0] < cfg.verify_min_events \
+            or ev_b.shape[0] < cfg.verify_min_events:
+        return False, 0.0
+    # identical event arrays (exact/reencode/gain duplicates) need no
+    # suffix array: the LCS is the whole sequence at positions (0, 0),
+    # which is exactly what the SA path returns for equal inputs
+    if ev_a.shape[0] == ev_b.shape[0] and np.array_equal(ev_a, ev_b):
+        run, pa, pb = int(ev_a.shape[0]), 0, 0
+    else:
+        run, pa, pb = K_suffix.longest_common_run(ev_a.astype(np.int64),
+                                                  ev_b.astype(np.int64))
+    if run < cfg.verify_min_events:
+        return False, 0.0
+    span_ms = float(ms_a[pa: pa + run].sum())
+    zgap = float(np.median(np.abs(zcr_a[pa: pa + run].astype(np.float64)
+                                  - zcr_b[pb: pb + run].astype(np.float64))))
+    return (span_ms >= cfg.verify_min_audio_ms
+            and zgap <= cfg.verify_zcr_log2_tol), span_ms
+
+
+def verify_text_pair(txt_a: str, txt_b: str) -> int:
+    """Longest common normalized-transcript substring length — a pure,
+    SYMMETRIC function of the two transcript contents."""
+    from . import suffix as K_suffix
+
+    na, nb = K_text.normalize(txt_a), K_text.normalize(txt_b)
+    if na == nb:
+        return len(na)          # LCS of identical strings = the string
+    run, _, _ = K_suffix.longest_common_run(K_text.char_codes(txt_a),
+                                            K_text.char_codes(txt_b))
+    return int(run)
+
+
 def verify_pair(ev_a: np.ndarray, ms_a: np.ndarray, zcr_a: np.ndarray,
                 ev_b: np.ndarray, zcr_b: np.ndarray,
                 txt_a: str, txt_b: str, cfg: PipelineConfig,
                 try_audio: bool, try_text: bool) -> tuple[bool, bool, float, int]:
-    """Suffix-array span confirmation for one candidate pair.
-
-    Audio confirmation requires (a) a common event run of >= verify_min_events
-    covering >= verify_min_audio_ms, AND (b) carrier consistency: the median
-    |log2 ZCR| gap over the matched run <= verify_zcr_log2_tol — this rejects
-    unrelated clips whose quantized envelopes coincide by chance (periodic
-    amplitude modulation) while keeping noise/gain/codec perturbations, whose
-    carriers are unchanged.
+    """Suffix-array span confirmation for one candidate pair — the
+    composition the single-node oracle runs per pair; the Spark engine
+    runs the two channel kernels above once per distinct content pair
+    instead (engine/verify.py), with identical per-pair semantics.
 
     Returns (audio_ok, text_ok, audio_span_ms, text_span_chars).
     """
-    from . import suffix as K_suffix
-
-    audio_ok, span_ms = False, 0.0
-    if try_audio and ev_a.shape[0] >= cfg.verify_min_events \
-            and ev_b.shape[0] >= cfg.verify_min_events:
-        # identical event arrays (exact/reencode/gain duplicates) need no
-        # suffix array: the LCS is the whole sequence at positions (0, 0),
-        # which is exactly what the SA path returns for equal inputs
-        if ev_a.shape[0] == ev_b.shape[0] and np.array_equal(ev_a, ev_b):
-            run, pa, pb = int(ev_a.shape[0]), 0, 0
-        else:
-            run, pa, pb = K_suffix.longest_common_run(ev_a.astype(np.int64),
-                                                      ev_b.astype(np.int64))
-        if run >= cfg.verify_min_events:
-            span_ms = float(ms_a[pa: pa + run].sum())
-            zgap = float(np.median(np.abs(zcr_a[pa: pa + run].astype(np.float64)
-                                          - zcr_b[pb: pb + run].astype(np.float64))))
-            audio_ok = (span_ms >= cfg.verify_min_audio_ms
-                        and zgap <= cfg.verify_zcr_log2_tol)
-    text_ok, nchars = False, 0
+    audio_ok, span_ms = ((verify_audio_pair(ev_a, ms_a, zcr_a,
+                                            ev_b, zcr_b, cfg))
+                         if try_audio else (False, 0.0))
     if try_text:
-        na, nb = K_text.normalize(txt_a), K_text.normalize(txt_b)
-        if na == nb:
-            nchars = len(na)        # LCS of identical strings = the string
-        else:
-            run, _, _ = K_suffix.longest_common_run(K_text.char_codes(txt_a),
-                                                    K_text.char_codes(txt_b))
-            nchars = int(run)
+        nchars = verify_text_pair(txt_a, txt_b)
         text_ok = nchars >= cfg.verify_min_chars
+    else:
+        text_ok, nchars = False, 0
     return audio_ok, text_ok, span_ms, nchars
