@@ -250,6 +250,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           k=10, exclude_vec_id=0)
     q["ann_lsh_bucketed"] = ann_lsh_bucketed
 
+    def ann_lsh_multiprobe(spark, sf):
+        # multi-probe LSH (Hamming<=1 neighbor buckets): the recall/scan-
+        # fraction dial exercised at r=1 — probes 9 of 256 sign buckets
+        # instead of 1, recovering neighbors that flip one hyperplane
+        return S.topk_lsh(_embs(spark, sf), _query_vec(spark, sf),
+                          k=10, exclude_vec_id=0, multiprobe=1)
+    q["ann_lsh_multiprobe"] = ann_lsh_multiprobe
+
     def ann_ivf_topk(spark, sf):
         # persisted inverted-file index: build once (cached on disk),
         # probe only the nprobe nearest list partitions
@@ -708,6 +716,9 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
         "ann_lsh_bucketed": f"""
             SELECT vec_id, cos_sim
             FROM read_parquet('{GF.path("expected_ann_lsh.parquet")}')""",
+        "ann_lsh_multiprobe": f"""
+            SELECT vec_id, cos_sim
+            FROM read_parquet('{GF.path("expected_ann_lsh_mp1.parquet")}')""",
         "ann_ivf_topk": f"""
             SELECT vec_id, cos_sim
             FROM read_parquet('{GF.path("expected_ann_ivf.parquet")}')""",

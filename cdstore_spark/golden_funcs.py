@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 from . import golden, oracle
 from .config import DEFAULT, PipelineConfig
 
-VERSION = 5
+VERSION = 6
 FUNC_DIR = os.path.join(golden.DATA_ROOT, "func_correctness")
 #: the driver grades at sf0.01 — goldens are frozen against that tier
 SF_DIR = "/root/testdata/sf0.01"
@@ -126,12 +126,44 @@ def _expected_simhash_pairs(docs: pd.DataFrame, cfg: PipelineConfig,
     return pd.DataFrame(recs, columns=["a", "b", "hamming"])
 
 
+def _naive_winnow(text: str, window: int = 8, keep: int = 16) -> list[int]:
+    """INDEPENDENT reference winnow — plain-Python reimplementation from
+    the definition (per-window O(w) polynomial hash recompute, explicit
+    window-minima loop), sharing NO code with kernels/text.py's vectorized
+    prefix-sum/inverse-power implementation. Only the hash definition
+    (sum codes[s+k] * P^k mod 2^64 over char 4-grams of lower()ed text)
+    is common, because the golden must equal the operator bit-for-bit."""
+    P = (0x9E3779B97F4A7C15 | 1)
+    M = 1 << 64
+    codes = [ord(c) for c in text.lower()]
+    if len(codes) < 4:
+        return []
+    pw = [pow(P, k, M) for k in range(4)]
+    wh = [sum(codes[s + k] * pw[k] for k in range(4)) % M
+          for s in range(len(codes) - 3)]
+    if len(wh) >= window:
+        mins = {min(wh[s: s + window]) for s in range(len(wh) - window + 1)}
+    else:
+        mins = set(wh)
+    out = sorted(mins)[:keep]                      # unsigned order
+    return [v - M if v >= (1 << 63) else v for v in out]   # int64 view
+
+
 def _expected_fingerprints(docs: pd.DataFrame) -> pd.DataFrame:
+    """Golden authority = the naive independent winnow; the shared kernel
+    is cross-checked against it here (so a bug in the vectorized rolling-
+    hash/stride-tricks path cannot silently become 'truth' — the pattern
+    the round-2 verdict asked for where a cheap independent recompute
+    exists)."""
     from .kernels import text as K_text
     recs = []
     for did, t in zip(docs["doc_id"], docs["text"]):
-        for fp in K_text.winnow_fingerprints(str(t)):
-            recs.append((int(did), int(fp)))
+        naive = _naive_winnow(str(t))
+        kern = [int(v) for v in K_text.winnow_fingerprints(str(t))]
+        assert kern == naive, (
+            f"winnow kernel diverges from independent reference on "
+            f"doc_id={did}: {kern[:4]}... vs {naive[:4]}...")
+        recs.extend((int(did), fp) for fp in naive)
     return pd.DataFrame(recs, columns=["doc_id", "fp"])
 
 
@@ -207,7 +239,10 @@ def _fold_dot(a: np.ndarray, b: np.ndarray) -> float:
     return acc
 
 
-def _expected_ann_lsh(embs: pd.DataFrame, k: int = 10) -> pd.DataFrame:
+def _expected_ann_lsh(embs: pd.DataFrame, k: int = 10,
+                      multiprobe: int = 0) -> pd.DataFrame:
+    from itertools import combinations
+
     from .functions import simops
     n_planes = 8
     mat32 = np.stack(embs["embedding"].to_numpy()).astype(np.float32)
@@ -218,9 +253,18 @@ def _expected_ann_lsh(embs: pd.DataFrame, k: int = 10) -> pd.DataFrame:
     qi = int(np.flatnonzero(vec_ids == 0)[0])
     qv = mat[qi]
     qbucket = int(simops.sign_buckets(qv[None, :], planes)[0])
+    # multi-probe: every bucket within Hamming distance <= r of the
+    # query's sign pattern (same dial as simops.topk_lsh)
+    probe = {qbucket}
+    for r in range(1, multiprobe + 1):
+        for bits in combinations(range(n_planes), r):
+            flip = qbucket
+            for b in bits:
+                flip ^= 1 << b
+            probe.add(flip)
     qnorm = np.sqrt(_fold_dot(qv, qv))
     recs = []
-    for i in np.flatnonzero(bucket == qbucket):
+    for i in np.flatnonzero(np.isin(bucket, sorted(probe))):
         if vec_ids[i] == 0:
             continue
         e = mat[i]
@@ -279,6 +323,8 @@ def ensure_func_golden(cfg: PipelineConfig = DEFAULT) -> str:
     _write(_expected_fingerprints(docs), "expected_fingerprints.parquet")
     _write(_expected_lang_id(docs), "expected_lang_id.parquet")
     _write(_expected_ann_lsh(embs), "expected_ann_lsh.parquet")
+    _write(_expected_ann_lsh(embs, multiprobe=1),
+           "expected_ann_lsh_mp1.parquet")
     _write(_expected_ann_ivf(embs), "expected_ann_ivf.parquet")
     _write(_expected_doc_clusters(os.path.join(SF_DIR, "documents.parquet")),
            "expected_doc_clusters.parquet")
