@@ -49,8 +49,11 @@ def capped_bucket_pairs(rows: DataFrame, key: list[str], member: str,
            .where(F.size("members") > 1))
 
     # layer 1: sub-bucket split (linear skew bound) — sub index + size.
-    # localCheckpoint: four downstream branches (triangle left/right, rep
-    # chain rep0/reps) would otherwise each recompute the aggregation
+    # persist(): four downstream branches (triangle left/right, rep chain
+    # rep0/reps) would otherwise each recompute the aggregation. persist,
+    # NOT localCheckpoint — checkpoint lineage truncation GCs the stage's
+    # SQLMetrics while straggler task completions still reference them,
+    # spraying benign-but-noisy 'Failed to update accumulator' ERRORs
     kept = (grp.select(*key, F.size("members").alias("cnt"),
                        F.posexplode("members").alias("rn0", "m"))
             .withColumn("rn", F.col("rn0") + 1)
@@ -60,7 +63,7 @@ def capped_bucket_pairs(rows: DataFrame, key: list[str], member: str,
                         F.least(F.col("cnt") - F.col("sub") * cap,
                                 F.lit(cap)))
             .drop("rn0")
-            .localCheckpoint(eager=False))
+            .persist())
 
     # layer 2: triangle block split within each sub-bucket
     blocked = (kept

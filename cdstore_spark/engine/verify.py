@@ -153,7 +153,7 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
                       "try_audio", "try_text")
               # three consumers (audio keys, text keys, final assembly):
               # materialize the slim pair table once
-              .localCheckpoint(eager=False))
+              .persist())
 
     # audio channel: distinct oriented content pairs → kernel → results.
     # The payload table holds one row per distinct PROBED content: a
@@ -163,7 +163,7 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     # payload joins, so payload rows never shuffle on the key join.
     audio_keys = (joined.where("try_audio")
                   .select("vk_a", "vk_b").distinct()
-                  .localCheckpoint(eager=False))
+                  .persist())
     vk_need = (audio_keys.select(F.col("vk_a").alias("vk"))
                .unionByName(audio_keys.select(F.col("vk_b").alias("vk")))
                .distinct())
@@ -183,7 +183,7 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
 
     text_keys = (joined.where("try_text")
                  .select("tk_a", "tk_b").distinct()
-                 .localCheckpoint(eager=False))
+                 .persist())
     tk_need = (text_keys.select(F.col("tk_a").alias("tk"))
                .unionByName(text_keys.select(F.col("tk_b").alias("tk")))
                .distinct())
