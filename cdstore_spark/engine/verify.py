@@ -126,6 +126,9 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
                 .distinct())
         slim = slim_all.join(need, "clip_id", "leftsemi")
         wrap = (lambda df: df)
+    # persist: the a-side and b-side broadcasts would otherwise EACH
+    # re-scan the features and re-md5 every multi-KB payload
+    slim = slim.persist()
     fa = wrap(slim.select(F.col("clip_id").alias("a"),
                           F.col("simhash_audio").alias("sha_a"),
                           F.col("simhash_text").alias("sht_a"),
@@ -155,12 +158,22 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
               # materialize the slim pair table once
               .persist())
 
+    # kernel-input parallelism is set EXPLICITLY by core count: the key
+    # tables are a few MB, so AQE's byte-based coalescing would shrink
+    # them to 1-2 partitions — and the downstream per-ROW Python kernel
+    # cost is invisible to AQE (measured: the text kernel ran near-serial,
+    # +24 s at the 100k tier, until this repartition)
+    par = max(cand.sparkSession.sparkContext.defaultParallelism * 2, 8)
+
     # audio channel: distinct oriented content pairs → kernel → results.
     # The payload table holds one row per distinct PROBED content: a
     # broadcast semi-join on the probed key set filters the feature scan
     # map-side, then dropDuplicates shuffles only the surviving payloads
-    # (map-side partial agg). The tiny key tables broadcast into the
-    # payload joins, so payload rows never shuffle on the key join.
+    # (map-side partial agg). Payload tables broadcast into BOTH key
+    # joins, so the repartitioned key rows keep their parallelism and
+    # payload rows never shuffle. (At a scale where the probed-content
+    # payload table outgrows broadcast budgets, drop the hints — the
+    # fallback is a shuffle join on 16-byte keys.)
     audio_keys = (joined.where("try_audio")
                   .select("vk_a", "vk_b").distinct()
                   .persist())
@@ -170,12 +183,10 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     vp_tbl = (feats.select(F.md5("vpack").alias("vk"), "vpack")
               .join(F.broadcast(vk_need), "vk", "leftsemi")
               .dropDuplicates(["vk"]))
-    # join 1 streams the payload scan against the broadcast key set; join
-    # 2 broadcasts the deduped payload table (bounded by probed contents)
-    # so the payload-carrying left side never shuffles
-    audio_in = (F.broadcast(audio_keys)
-                .join(vp_tbl.select(F.col("vk").alias("vk_a"),
-                                    F.col("vpack").alias("vpack_a")), "vk_a")
+    audio_in = (audio_keys.repartition(par)
+                .join(F.broadcast(vp_tbl.select(F.col("vk").alias("vk_a"),
+                                                F.col("vpack")
+                                                .alias("vpack_a"))), "vk_a")
                 .join(F.broadcast(vp_tbl.select(F.col("vk").alias("vk_b"),
                                                 F.col("vpack")
                                                 .alias("vpack_b"))), "vk_b"))
@@ -190,9 +201,10 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     tx_tbl = (feats.select(F.md5("transcript").alias("tk"), "transcript")
               .join(F.broadcast(tk_need), "tk", "leftsemi")
               .dropDuplicates(["tk"]))
-    text_in = (F.broadcast(text_keys)
-               .join(tx_tbl.select(F.col("tk").alias("tk_a"),
-                                   F.col("transcript").alias("transcript_a")),
+    text_in = (text_keys.repartition(par)
+               .join(F.broadcast(
+                   tx_tbl.select(F.col("tk").alias("tk_a"),
+                                 F.col("transcript").alias("transcript_a"))),
                      "tk_a")
                .join(F.broadcast(
                    tx_tbl.select(F.col("tk").alias("tk_b"),
@@ -200,12 +212,15 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
                      "tk_b"))
     text_res = text_in.mapInPandas(_text_kernel(), _TEXT_RES_SCHEMA)
 
-    # join content-level results back to the slim pair table (results are
-    # small — AQE picks broadcast here at sandbox scale; at cluster scale
-    # a shuffle join of two slim tables is the right fallback)
+    # join content-level results back to the slim pair table — broadcast
+    # hinted: the result tables are bounded by distinct content pairs
+    # (~12 MB here, just over the auto threshold, so AQE would otherwise
+    # sort-merge and shuffle the pair table twice); at a scale where
+    # content-pair results outgrow broadcast, drop the hints and this is
+    # a shuffle join of two slim tables
     out = (joined
-           .join(audio_res, ["vk_a", "vk_b"], "left")
-           .join(text_res, ["tk_a", "tk_b"], "left")
+           .join(F.broadcast(audio_res), ["vk_a", "vk_b"], "left")
+           .join(F.broadcast(text_res), ["tk_a", "tk_b"], "left")
            .select(
                "a", "b",
                (F.col("try_audio")
