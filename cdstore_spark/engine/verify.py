@@ -180,9 +180,15 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     vk_need = (audio_keys.select(F.col("vk_a").alias("vk"))
                .unionByName(audio_keys.select(F.col("vk_b").alias("vk")))
                .distinct())
+    # persist: the payload table broadcasts into BOTH key joins below, and
+    # broadcast exchanges are not plan-identical after aliasing — without
+    # materialization each build re-runs the feature scan, the semi-join
+    # AND the dropDuplicates shuffle (4 heavy stages instead of 2, REST
+    # stage metrics showed the duplicates among the top verify stages)
     vp_tbl = (feats.select(F.md5("vpack").alias("vk"), "vpack")
               .join(F.broadcast(vk_need), "vk", "leftsemi")
-              .dropDuplicates(["vk"]))
+              .dropDuplicates(["vk"])
+              .persist())
     audio_in = (audio_keys.repartition(par)
                 .join(F.broadcast(vp_tbl.select(F.col("vk").alias("vk_a"),
                                                 F.col("vpack")
@@ -200,7 +206,8 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
                .distinct())
     tx_tbl = (feats.select(F.md5("transcript").alias("tk"), "transcript")
               .join(F.broadcast(tk_need), "tk", "leftsemi")
-              .dropDuplicates(["tk"]))
+              .dropDuplicates(["tk"])
+              .persist())
     text_in = (text_keys.repartition(par)
                .join(F.broadcast(
                    tx_tbl.select(F.col("tk").alias("tk_a"),
