@@ -11,7 +11,7 @@ Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1 → bench tier,
     throughput path the north rule's clips/sec metric names) run in fresh
     subprocesses at local[8] and local[32] on the SAME input, reporting
     clips/sec at both and efficiency (T_8 / T_32) / 4. The e2e pipeline wall
-    at both levels is also reported; at this data scale its fixed serial
+    at all three levels is also reported; at this data scale its fixed serial
     costs (connected-components rounds, small-stage scheduling) dominate,
     which is a data-size artifact, not a partitioning defect — BENCH.md
     discusses.
@@ -37,7 +37,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # than ~8 cores are busy (verified with a pure-CPU probe), which caps ANY
 # 8→32 workload at ~0.6 efficiency regardless of partitioning — the 2→8
 # pair measures the partitioning/scaling behavior itself.
-SCALE_JOBS = {"featurize": (2, 8, 32), "e2e": (8, 32)}
+SCALE_JOBS = {"featurize": (2, 8, 32), "e2e": (2, 8, 32)}
 
 
 def _spark(cpus: int):
@@ -231,7 +231,7 @@ def main() -> None:
 
     # ---- N → 4N scaling on the same input ---------------------------------
     # featurize (the compute-bound per-clip path) at 2/8/32 AND the full
-    # e2e pipeline at 8/32 — the whole-job evidence for the north rule's
+    # e2e pipeline at 2/8/32 — the whole-job evidence for the north rule's
     # N→4N claim (the 32-core e2e sample reuses the headline run)
     scale: dict[str, dict] = {}
     for what, levels in SCALE_JOBS.items():

@@ -24,6 +24,16 @@ stage so the document MinHash-LSH and SimHash block joins get the same
 
 Buckets smaller than `cap` enumerate ALL their pairs — at contract/test
 scale (buckets << cap) the output is exactly the naive self-join's.
+
+Physical split: buckets of <= `soft` members (the overwhelming majority at
+any scale — near-dup groups are small; hot template/boilerplate buckets
+are the exception the layers above exist for) enumerate their <=
+soft*(soft-1)/2 pairs IN PLACE with JVM higher-order array functions
+straight off the groupBy aggregate — no further shuffle at all. Only
+buckets above `soft` enter the triangle block join, so its two
+explode-shuffles move O(hot-bucket rows), not O(all band rows). The pair
+SET is identical either way (single sub-bucket, single block => all
+pairs); only the physical plan differs.
 """
 
 from __future__ import annotations
@@ -44,26 +54,41 @@ def capped_bucket_pairs(rows: DataFrame, key: list[str], member: str,
     sub_rn sub_size g blk i j a b` are reserved for internal use and
     must not appear in `key`.
     """
-    grp = (rows.groupBy(*key)
-           .agg(F.sort_array(F.collect_list(member)).alias("members"))
-           .where(F.size("members") > 1))
-
-    # layer 1: sub-bucket split (linear skew bound) — sub index + size.
-    # persist(): four downstream branches (triangle left/right, rep chain
-    # rep0/reps) would otherwise each recompute the aggregation. persist,
+    # persist(): up to five downstream branches (small-bucket in-place
+    # enumeration, triangle left/right, rep chain rep0/reps) would
+    # otherwise each recompute the collect_list aggregation. persist,
     # NOT localCheckpoint — checkpoint lineage truncation GCs the stage's
     # SQLMetrics while straggler task completions still reference them,
     # spraying benign-but-noisy 'Failed to update accumulator' ERRORs
-    kept = (grp.select(*key, F.size("members").alias("cnt"),
-                       F.posexplode("members").alias("rn0", "m"))
+    grp = (rows.groupBy(*key)
+           .agg(F.sort_array(F.collect_list(member)).alias("members"))
+           .where(F.size("members") > 1)
+           .persist())
+
+    # small buckets (<= soft members): all pairs, generated JVM-side from
+    # the sorted members array — no join, no extra shuffle. sort_array
+    # ordering makes x < y structural, so (a, b) is already canonical.
+    small = (grp.where(F.size("members") <= soft)
+             .select(*key, F.explode(F.expr(
+                 "flatten(transform(members, (x, i) -> "
+                 "transform(slice(members, i + 2, size(members)), "
+                 "y -> struct(x AS a, y AS b))))")).alias("p"))
+             .select(*key, "p.a", "p.b")
+             .where(F.col("a") != F.col("b")))
+
+    # layer 1 (buckets above soft only): sub-bucket split (linear skew
+    # bound) — sub index + size. These rows are the skew tail, so the
+    # four consumers below each re-filter the cached grp cheaply.
+    kept = (grp.where(F.size("members") > soft)
+            .select(*key, F.size("members").alias("cnt"),
+                    F.posexplode("members").alias("rn0", "m"))
             .withColumn("rn", F.col("rn0") + 1)
             .withColumn("sub", (F.col("rn0") / F.lit(cap)).cast("int"))
             .withColumn("sub_rn", F.col("rn0") % F.lit(cap))
             .withColumn("sub_size",
                         F.least(F.col("cnt") - F.col("sub") * cap,
                                 F.lit(cap)))
-            .drop("rn0")
-            .persist())
+            .drop("rn0"))
 
     # layer 2: triangle block split within each sub-bucket
     blocked = (kept
@@ -100,4 +125,4 @@ def capped_bucket_pairs(rows: DataFrame, key: list[str], member: str,
                      F.least("ra", "rb").alias("a"),
                      F.greatest("ra", "rb").alias("b")))
 
-    return raw_pairs.unionByName(chain)
+    return small.unionByName(raw_pairs).unionByName(chain)
