@@ -204,7 +204,8 @@ def main() -> None:
     from cdstore_spark.docgen import ensure_hot_docs
     from cdstore_spark.engine.cluster import connected_components
     from cdstore_spark.functions import textops as X
-    hot_n, hot_m, cap = 100_000, 5_000, 256
+    from cdstore_spark.config import DEFAULT as _CFG
+    hot_n, hot_m, cap = 100_000, 5_000, _CFG.bucket_cap
     hot_path = ensure_hot_docs(hot_n, hot_m)
     print(f"bench: docdedup_hot ({hot_n} docs, {hot_m}-member hot group)"
           " ...", file=sys.stderr)

@@ -222,20 +222,26 @@ class TestMultimodal:
 class TestBucketPairs:
     """The shared skew-bounded enumerator (engine/bucket_pairs.py)."""
 
+    # bucket sizes straddle every physical-path boundary: the in-place
+    # small-bucket path (<= soft), the triangle block join (soft < n <=
+    # cap, including n == soft + 1 and n == cap exactly) and the
+    # sub-bucket + representative chain (n > cap)
+    _SIZES = [2, 15, 16, 17, 64, 65]
+
     def test_exact_below_cap(self, spark):
         # buckets smaller than cap enumerate ALL pairs — the naive join's
         # output, which is what keeps the exact-oracle contract rows valid
         from cdstore_spark.engine.bucket_pairs import capped_bucket_pairs
-        rows = [(k, f"m{k:02d}_{i:03d}") for k in range(5)
-                for i in range(2 + 4 * k)]
+        rows = [(k, f"m{k:02d}_{i:03d}") for k, n in enumerate(self._SIZES)
+                for i in range(n)]
         df = spark.createDataFrame(rows, "k int, member string")
         got = set(map(tuple, capped_bucket_pairs(df, ["k"], "member",
                                                  cap=64, soft=16)
                       .select("a", "b").toPandas().values))
         exp = set()
-        for k in range(5):
+        for k, n in enumerate(self._SIZES):
             exp |= _mirror_capped_pairs(
-                [f"m{k:02d}_{i:03d}" for i in range(2 + 4 * k)], 64)
+                [f"m{k:02d}_{i:03d}" for i in range(n)], 64)
         assert got == exp
 
     def test_hot_bucket_linear_and_connected(self, spark):
