@@ -68,9 +68,26 @@ _BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 _SLIM_ROW_BYTES = 128
 
 
+#: per-partition content-memo bound — each content appears in many pairs,
+#: so the kernels cache per-content preprocessing (event unpack /
+#: transcript normalize+codes) keyed by the 16-byte content key; clear()
+#: past the bound keeps worker memory flat on arbitrarily large partitions
+_MEMO_MAX = 65536
+
+
 def _audio_kernel(cfg: PipelineConfig):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.clipfeat import unpack_events, verify_audio_pair
+        unp: dict = {}
+
+        def get(k, buf):
+            r = unp.get(k)
+            if r is None:
+                if len(unp) > _MEMO_MAX:
+                    unp.clear()
+                r = unp[k] = unpack_events(buf)
+            return r
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -79,8 +96,8 @@ def _audio_kernel(cfg: PipelineConfig):
                                       pdf["vk_b"].to_numpy(),
                                       pdf["vpack_a"].to_numpy(),
                                       pdf["vpack_b"].to_numpy()):
-                ev_a, ms_a, zc_a = unpack_events(ba)
-                ev_b, _, zc_b = unpack_events(bb)
+                ev_a, ms_a, zc_a = get(ka, ba)
+                ev_b, _, zc_b = get(kb, bb)
                 ok, span = verify_audio_pair(ev_a, ms_a, zc_a,
                                              ev_b, zc_b, cfg)
                 recs.append((ka, kb, ok, float(span)))
@@ -92,10 +109,13 @@ def _audio_kernel(cfg: PipelineConfig):
 def _text_kernel():
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.clipfeat import verify_text_pair
+        memo: dict = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            recs = [(ka, kb, int(verify_text_pair(str(ta), str(tb))))
+            if len(memo) > _MEMO_MAX:
+                memo.clear()
+            recs = [(ka, kb, int(verify_text_pair(str(ta), str(tb), memo)))
                     for ka, kb, ta, tb in zip(pdf["tk_a"].to_numpy(),
                                               pdf["tk_b"].to_numpy(),
                                               pdf["transcript_a"].to_numpy(),

@@ -167,17 +167,44 @@ def verify_audio_pair(ev_a: np.ndarray, ms_a: np.ndarray, zcr_a: np.ndarray,
             and zgap <= cfg.verify_zcr_log2_tol), span_ms
 
 
-def verify_text_pair(txt_a: str, txt_b: str) -> int:
+def verify_text_pair(txt_a: str, txt_b: str,
+                     memo: dict | None = None) -> int:
     """Longest common normalized-transcript substring length — a pure,
-    SYMMETRIC function of the two transcript contents."""
+    SYMMETRIC function of the two transcript contents.
+
+    `memo` (optional) caches normalize/char_codes per distinct raw string:
+    the Spark engine runs this once per distinct content PAIR, but each
+    content appears in many pairs, so per-partition memoization skips the
+    repeated O(n) preprocessing. Results are identical with or without it
+    (the oracle passes nothing)."""
     from . import suffix as K_suffix
 
-    na, nb = K_text.normalize(txt_a), K_text.normalize(txt_b)
-    if na == nb:
-        return len(na)          # LCS of identical strings = the string
-    run, _, _ = K_suffix.longest_common_run(K_text.char_codes(txt_a),
-                                            K_text.char_codes(txt_b))
+    if memo is None:
+        na, nb = K_text.normalize(txt_a), K_text.normalize(txt_b)
+        if na == nb:
+            return len(na)      # LCS of identical strings = the string
+        ca, cb = K_text.char_codes(txt_a), K_text.char_codes(txt_b)
+    else:
+        ea, eb = _text_memo(txt_a, memo), _text_memo(txt_b, memo)
+        na, nb = ea[0], eb[0]
+        if na == nb:
+            return len(na)
+        ca, cb = _memo_codes(ea), _memo_codes(eb)
+    run, _, _ = K_suffix.longest_common_run(ca, cb)
     return int(run)
+
+
+def _text_memo(txt: str, memo: dict) -> list:
+    e = memo.get(txt)
+    if e is None:
+        e = memo[txt] = [K_text.normalize(txt), None]
+    return e
+
+
+def _memo_codes(e: list) -> np.ndarray:
+    if e[1] is None:
+        e[1] = K_text.codes_from_normalized(e[0])
+    return e[1]
 
 
 def verify_pair(ev_a: np.ndarray, ms_a: np.ndarray, zcr_a: np.ndarray,

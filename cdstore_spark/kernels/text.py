@@ -71,10 +71,16 @@ def ngram_shingles(text: str, n: int = 3, short_tokens: int = 12) -> np.ndarray:
     return np.unique(out)
 
 
+def codes_from_normalized(s: str) -> np.ndarray:
+    """int32 codepoint array of an ALREADY-normalized string — split out so
+    callers that memoize normalize() don't re-normalize to get codes."""
+    return (np.frombuffer(s.encode("utf-32-le"), dtype=np.int32)
+            if s else np.empty(0, np.int32))
+
+
 def char_codes(text: str) -> np.ndarray:
     """Normalized transcript as an int32 codepoint array (suffix-array input)."""
-    s = normalize(text)
-    return np.frombuffer(s.encode("utf-32-le"), dtype=np.int32) if s else np.empty(0, np.int32)
+    return codes_from_normalized(normalize(text))
 
 
 def char_trigram_hashes(text: str) -> np.ndarray:
