@@ -115,3 +115,22 @@ class TestResample:
                 assert np.isclose(y[-1], arr[-1], atol=1e-5)
         else:
             assert y.shape[0] == 0
+
+
+class TestVerifyMemo:
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.sampled_from(
+        ["", "a b", "The  quick fox", "the quick fox", "x" * 40,
+         "lorem ipsum dolor", "LOREM ipsum  DOLOR", "päivää ÄÄ",
+         "one two three four five six"]), min_size=2, max_size=8))
+    def test_text_pair_memo_identical(self, texts):
+        """verify_text_pair with a shared memo must equal the memo-free
+        path on every pair — including repeated contents (the memo's whole
+        point) and hits on both the equal-normalized fast path and the
+        suffix LCS path."""
+        from cdstore_spark.kernels.clipfeat import verify_text_pair
+        memo: dict = {}
+        for a in texts:
+            for b in texts:
+                assert (verify_text_pair(a, b, memo)
+                        == verify_text_pair(a, b))
