@@ -224,6 +224,8 @@ def main() -> None:
                     + (1 if s else 0) for s in range(0, hot_m, cap))
     assert n_hot_pairs == exp_pairs, (n_hot_pairs, exp_pairs)
     assert len(big) == 1 and big[0]["count"] == hot_m, big
+    hot_evidence = {"n": hot_n, "m": hot_m, "pairs": int(n_hot_pairs),
+                    "naive_per_band": hot_m * (hot_m - 1) // 2}
     _history_append("docdedup_hot", {CPUS: queries_s["docdedup_hot100k"]})
     print(f"bench: docdedup_hot100k {queries_s['docdedup_hot100k']}s "
           f"({n_hot_pairs} capped pairs vs {hot_m*(hot_m-1)//2} naive/band; "
@@ -277,6 +279,7 @@ def main() -> None:
         "clips_per_sec_e2e_capability": round(n_clips / best_e2e, 1),
         "confirmed_pairs": e2e.get("confirmed"),
         "scaling": scale,
+        "hot_docs": hot_evidence,
         # zero-tolerance artifact hygiene: any ERROR/exception line in any
         # worker's captured stderr is surfaced here (expected: [])
         "stderr_issues": _STDERR_ISSUES,
@@ -347,12 +350,14 @@ def _write_bench_md(r: dict) -> None:
         "channel dedup end-to-end (MinHash signatures → skew-bounded LSH "
         "band join → exact-Jaccard verification → union-find clusters) "
         "over the sf dir's `documents` table. `docdedup_hot100k` is the "
-        "same pipeline over a synthetic 100k-doc corpus with a planted "
-        "5,000-member exact-duplicate group: every LSH band puts all 5k "
-        "docs in ONE bucket (a naive band self-join would enumerate "
-        "12,497,500 pairs per band); the run asserts the capped enumerator "
-        "emits exactly the linear O(m·cap) pair set (629,359) and still "
-        "produces exactly one 5,000-member cluster — the skew bound "
+        f"same pipeline over a synthetic {r['hot_docs']['n']:,}-doc corpus "
+        f"with a planted {r['hot_docs']['m']:,}-member exact-duplicate "
+        "group: every LSH band puts the whole group in ONE bucket (a "
+        "naive band self-join would enumerate "
+        f"{r['hot_docs']['naive_per_band']:,} pairs per band); the run "
+        "asserts the capped enumerator emits exactly the linear O(m·cap) "
+        f"pair set ({r['hot_docs']['pairs']:,}) and still produces exactly "
+        f"one {r['hot_docs']['m']:,}-member cluster — the skew bound "
         "proven at scale, as a bench-gated invariant.",
         "",
         f"Worker stderr hygiene: {len(r['stderr_issues'])} issue(s)"

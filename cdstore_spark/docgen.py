@@ -40,7 +40,7 @@ def ensure_hot_docs(n: int = 100_000, hot: int = 5_000,
     marker = os.path.join(d, "_DOCS_DONE.json")
     ident = {"n": n, "hot": hot, "tpd": tokens_per_doc,
              "vocab": vocab, "seed": seed, "version": 1}
-    if os.path.exists(marker):
+    if os.path.exists(marker) and os.path.exists(path):
         try:
             with open(marker) as f:
                 if json.load(f) == ident:

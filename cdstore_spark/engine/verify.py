@@ -68,24 +68,30 @@ _BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 _SLIM_ROW_BYTES = 128
 
 
-#: per-partition content-memo bound — each content appears in many pairs,
-#: so the kernels cache per-content preprocessing (event unpack /
-#: transcript normalize+codes) keyed by the 16-byte content key; clear()
-#: past the bound keeps worker memory flat on arbitrarily large partitions
-_MEMO_MAX = 65536
+#: per-partition content-memo BYTE budget — each content appears in many
+#: pairs, so the kernels cache per-content preprocessing (event unpack /
+#: transcript normalize+codes) keyed by content. The budget is in payload
+#: bytes, not entries (multi-KB contents × a fixed entry count would be
+#: ~GBs per task at production partition sizes); clear() past it keeps
+#: worker memory flat on arbitrarily large partitions, checked per insert
+_MEMO_MAX_BYTES = 64 * 1024 * 1024
 
 
 def _audio_kernel(cfg: PipelineConfig):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.clipfeat import unpack_events, verify_audio_pair
         unp: dict = {}
+        used = [0]
 
         def get(k, buf):
             r = unp.get(k)
             if r is None:
-                if len(unp) > _MEMO_MAX:
+                if used[0] > _MEMO_MAX_BYTES:
                     unp.clear()
+                    used[0] = 0
                 r = unp[k] = unpack_events(buf)
+                # frombuffer views pin buf; account the packed source size
+                used[0] += len(buf) + 64
             return r
 
         for pdf in batches:
@@ -109,12 +115,22 @@ def _audio_kernel(cfg: PipelineConfig):
 def _text_kernel():
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.clipfeat import verify_text_pair
-        memo: dict = {}
+
+        class _BoundedMemo(dict):
+            # raw key + normalized copy + int32 codes ≈ 6 bytes/char
+            used = 0
+
+            def __setitem__(self, k, v):
+                if self.used > _MEMO_MAX_BYTES:
+                    self.clear()
+                    self.used = 0
+                self.used += 6 * len(k) + 64
+                super().__setitem__(k, v)
+
+        memo = _BoundedMemo()
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if len(memo) > _MEMO_MAX:
-                memo.clear()
             recs = [(ka, kb, int(verify_text_pair(str(ta), str(tb), memo)))
                     for ka, kb, ta, tb in zip(pdf["tk_a"].to_numpy(),
                                               pdf["tk_b"].to_numpy(),
