@@ -71,3 +71,33 @@ class TestOracleQuality:
         cm = dict(zip(clus["clip_id"], clus["cluster_id"]))
         sizes = clus.groupby("cluster_id").size()
         assert all(sizes[cm[c]] == 1 for c in sil)
+
+
+class TestHotDocsCorpus:
+    """docgen.ensure_hot_docs — the planted-hot-group bench corpus."""
+
+    def test_deterministic_and_self_healing(self, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from cdstore_spark.docgen import ensure_hot_docs
+
+        root = str(tmp_path)
+        p1 = ensure_hot_docs(n=60, hot=10, data_root=root)
+        t1 = pq.read_table(p1)
+        assert t1.num_rows == 60
+        texts = t1.column("text").to_pylist()
+        # exactly one 10-member exact-duplicate text group
+        from collections import Counter
+        top = Counter(texts).most_common(1)[0]
+        assert top[1] == 10
+        # cache hit returns the same bytes
+        mtime = os.path.getmtime(p1)
+        assert ensure_hot_docs(n=60, hot=10, data_root=root) == p1
+        assert os.path.getmtime(p1) == mtime
+        # self-heal: a surviving marker with a missing parquet regenerates
+        os.unlink(p1)
+        p2 = ensure_hot_docs(n=60, hot=10, data_root=root)
+        t2 = pq.read_table(p2)
+        assert t2.column("text").to_pylist() == texts  # seeded => identical
