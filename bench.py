@@ -87,13 +87,17 @@ def worker(cpus: int, what: str, path: str, out: str) -> None:
             best = min(best, time.time() - t1)
         res = {"wall_s": best, "rows": n}
     elif what == "e2e":
+        from cdstore_spark.engine.scope import cache_scope
         feats = S_feat.featurize_from_parquet(spark, path, CFG).persist()
         n = feats.count()
-        cand, _ = S_cand.candidate_pairs(feats, CFG)
-        cand = cand.persist()
-        n_cand = cand.count()
-        conf = S_verify.verify_candidates(cand, feats, CFG).persist()
-        n_conf = conf.count()
+        with cache_scope():   # releases the bucket aggregate after cand
+            cand, _ = S_cand.candidate_pairs(feats, CFG)
+            cand = cand.persist()
+            n_cand = cand.count()
+        with cache_scope():   # releases verify's six side tables
+            conf = S_verify.verify_candidates(cand, feats, CFG,
+                                              n_feats=n).persist()
+            n_conf = conf.count()
         clips = spark.read.parquet(path)
         clus = S_clust.connected_components(conf.select("a", "b"),
                                             clips.select("clip_id"))

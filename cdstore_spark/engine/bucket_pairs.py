@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .scope import scoped_persist
+
 
 def capped_bucket_pairs(rows: DataFrame, key: list[str], member: str,
                         cap: int, soft: int) -> DataFrame:
@@ -59,11 +61,13 @@ def capped_bucket_pairs(rows: DataFrame, key: list[str], member: str,
     # otherwise each recompute the collect_list aggregation. persist,
     # NOT localCheckpoint — checkpoint lineage truncation GCs the stage's
     # SQLMetrics while straggler task completions still reference them,
-    # spraying benign-but-noisy 'Failed to update accumulator' ERRORs
-    grp = (rows.groupBy(*key)
-           .agg(F.sort_array(F.collect_list(member)).alias("members"))
-           .where(F.size("members") > 1)
-           .persist())
+    # spraying benign-but-noisy 'Failed to update accumulator' ERRORs.
+    # scoped: a caller that materializes inside a cache_scope() (pipeline
+    # stage writes, streaming micro-batches) releases this cache on exit
+    grp = scoped_persist(
+        rows.groupBy(*key)
+        .agg(F.sort_array(F.collect_list(member)).alias("members"))
+        .where(F.size("members") > 1))
 
     # small buckets (<= soft members): all pairs, generated JVM-side from
     # the sorted members array — no join, no extra shuffle. sort_array

@@ -2,10 +2,19 @@
 
 Distributed union-find as DataFrame algebra (Kiveris et al., "Connected
 Components in MapReduce and Beyond", SoCC'14 — see PAPERS.md): converges in
-O(log n) rounds on any graph, each round two shuffles, no driver-side state
-— which is why it survives 10^12-node scale where a collect()-based
-union-find cannot. Each iteration localCheckpoints to truncate the growing
-lineage (SURVEY.md §7.4 decision 5).
+O(log n) rounds on any graph, each round a handful of shuffles, no
+driver-side state — which is why it survives 10^12-node scale where a
+collect()-based union-find cannot.
+
+Each iteration eagerly localCheckpoints to truncate the growing lineage
+(SURVEY.md §7.4 decision 5) — mandatory, not optional: a round's logical
+plan references its parent several times, so without per-round truncation
+Catalyst's plan-canonicalization walk grows exponentially in the round
+count. The convergence signature then costs one cheap scan of the
+checkpointed edge set. Round-4 trims: large_star no longer pays a
+distinct shuffle (small_star dedups before the signature), the input
+edge set is persisted rather than checkpointed (released after round 1),
+and no cache blocks outlive the call.
 
 large_star: every node points its LARGER neighbors at the minimum of its
 neighborhood (incl. itself). small_star: every node points its smaller-or-
@@ -29,11 +38,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     nbrs = _sym(edges)
     mins = (nbrs.groupBy("u").agg(F.min("v").alias("mv"))
             .select("u", F.least("mv", "u").alias("m")))
+    # no distinct here: duplicates are harmless (small_star dedups before
+    # the signature) and the extra shuffle per round costs more than the
+    # modest row inflation it removes
     return (nbrs.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
-            .distinct())
+            .where(F.col("u") != F.col("v")))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -57,31 +68,46 @@ def connected_components(pairs: DataFrame, universe: DataFrame,
     identical to the oracle union-find convention. Singleton clips map to
     themselves.
     """
-    edges = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
-             .where(F.col("u") != F.col("v"))
-             .distinct()
-             .localCheckpoint(eager=True))   # cut upstream chain once
-
     def _sig(df: DataFrame) -> tuple:
+        # ONE action per round: scanning the freshly-persisted edge set
+        # both materializes the cache and returns the convergence
+        # signature (count + order-independent xxhash64 fold)
         row = df.agg(F.count(F.lit(1)).alias("c"),
                      F.expr("bit_xor(xxhash64(u, v))").alias("h")
                      ).collect()[0]
         return (row["c"], row["h"])
 
-    # convergence = output edge multiset equals the INPUT's (fixpoint of
+    edges = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .distinct()
+             .persist())
+
+    # convergence = output edge set equals the INPUT's (fixpoint of
     # large_star∘small_star); seeding prev_sig with the initial edges'
     # signature detects it on the first stable iteration instead of
     # paying one extra full round to see two identical outputs
     prev_sig = _sig(edges)
+    prev = edges
     for _ in range(max_iter):
-        edges = _large_star(edges)
-        edges = _small_star(edges).localCheckpoint(eager=True)
-        sig = _sig(edges)
+        # eager localCheckpoint EVERY round: a round's logical plan
+        # references its parent ~6x (_sym self-unions + min joins), so
+        # without per-round truncation the tree — and Catalyst's plan
+        # canonicalization walk — grows exponentially with iteration
+        # count (measured: the driver burned minutes of single-thread CPU
+        # in doCanonicalize by round ~8 under a persist-only variant).
+        # Eager, not lazy: lazy checkpoints of metric-bearing plans
+        # trigger the driver accumulator-GC race (CLAUDE.md).
+        cur = _small_star(_large_star(prev)).localCheckpoint(eager=True)
+        sig = _sig(cur)             # cheap second job: scans the checkpoint
+        prev.unpersist()            # releases the initial persist; no-op
+        prev = cur                  # on checkpointed rounds
         if sig == prev_sig:
             break
         prev_sig = sig
-    labels = edges.select(F.col("u").alias("clip_id"),
-                          F.col("v").alias("cluster_id"))
+    # checkpoint RDDs are GC-managed — nothing to release at exit beyond
+    # the unpersists above, and downstream consumers read shallow plans
+    labels = prev.select(F.col("u").alias("clip_id"),
+                         F.col("v").alias("cluster_id"))
     return (universe.select("clip_id")
             .join(labels, "clip_id", "left")
             .select("clip_id",

@@ -79,12 +79,22 @@ def run_pipeline(spark: SparkSession, clips_path: str, workdir: str,
         spark, lambda _i: skew_plan,
         hash_cols_for_lineage=["channel", "n_buckets", "max_bucket"])
 
+    # feature-row count for verify's broadcast-vs-shuffle decision comes
+    # free from the stage manifest (per-chunk lineage row counts) — no
+    # count() action
+    n_feats = sum(e["rows"] for e in ck_feat.lineage())
+
     ck_ver = StageCheckpoint(workdir, "s7_confirmed", n_chunks, fp)
+    # chunks are disjoint hash ranges of the pair key — run them
+    # CONCURRENTLY so one chunk's driver-serial phases (broadcast builds,
+    # small-stage scheduling) overlap another's executor work
     confirmed = ck_ver.run(
         spark,
         lambda i: S_verify.verify_candidates(
-            cand.where(chunk_filter("a", n_chunks, i)), feats, cfg),
-        hash_cols_for_lineage=["a", "b", "audio_ok", "text_ok"])
+            cand.where(chunk_filter("a", n_chunks, i)), feats, cfg,
+            n_feats=n_feats),
+        hash_cols_for_lineage=["a", "b", "audio_ok", "text_ok"],
+        max_workers=min(4, n_chunks))
 
     ck_clust = StageCheckpoint(workdir, "s8_clusters", 1, fp)
     clusters = ck_clust.run(

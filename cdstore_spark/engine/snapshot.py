@@ -93,22 +93,39 @@ class StageCheckpoint:
 
     def run(self, spark: SparkSession,
             compute_chunk: Callable[[int], DataFrame],
-            hash_cols_for_lineage: list[str] | None = None) -> DataFrame:
+            hash_cols_for_lineage: list[str] | None = None,
+            max_workers: int = 1) -> DataFrame:
         """Execute missing chunks, record lineage, return the full stage DF.
 
         `compute_chunk(i)` must return chunk i's rows — typically the stage
         plan filtered by pmod(xxhash64(key), n_chunks) == i, so membership
         is deterministic and a resume recomputes nothing already done.
+
+        `max_workers > 1` submits missing chunks concurrently from a
+        thread pool over the same SparkSession: chunk plans are
+        independent by construction (disjoint hash ranges, separate
+        output dirs, separate manifest entries), and overlapping them
+        hides each chunk's driver-serial phases (plan analysis, broadcast
+        builds, small-stage scheduling) behind another chunk's executor
+        work — a direct cut to the pipeline's serial fraction. Resume
+        semantics are unchanged: a chunk's manifest entry is written only
+        after its parquet write completes.
         """
+        from .scope import cache_scope
+
         self._prune_orphan_chunks()
-        recomputed = 0
-        for i in range(self.n_chunks):
-            if self.chunk_done(i):
-                continue
+        todo = [i for i in range(self.n_chunks) if not self.chunk_done(i)]
+
+        def _one(i: int) -> None:
             t0 = time.time()
-            df = compute_chunk(i).withColumn("_part", F.spark_partition_id())
             out = os.path.join(self.dir, f"chunk={i}")
-            df.write.mode("overwrite").parquet(out)
+            # per-chunk cache scope: scoped_persist()s made while building
+            # and writing this chunk (e.g. verify's side tables) are
+            # released as soon as the chunk's parquet write materializes
+            with cache_scope():
+                df = (compute_chunk(i)
+                      .withColumn("_part", F.spark_partition_id()))
+                df.write.mode("overwrite").parquet(out)
             written = spark.read.parquet(out)
             per_part = [r.asDict() for r in
                         (written.groupBy("_part")
@@ -127,8 +144,17 @@ class StageCheckpoint:
                 "partitions": per_part,
                 "wall_ms": int(1000 * (time.time() - t0)),
             })
-            recomputed += 1
-        self.last_recomputed_chunks = recomputed
+
+        if max_workers > 1 and len(todo) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=max_workers) as ex:
+                # list() re-raises the first chunk failure, like the
+                # sequential path
+                list(ex.map(_one, todo))
+        else:
+            for i in todo:
+                _one(i)
+        self.last_recomputed_chunks = len(todo)
         # drop the lineage partition id AND the 'chunk' column that
         # partition discovery injects from the chunk=<i> directory layout —
         # the returned schema must be exactly the stage's declared schema

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import DEFAULT, PipelineConfig
+from .scope import scoped_persist
 
 VERIFY_SCHEMA = T.StructType([
     T.StructField("a", T.StringType()),
@@ -78,7 +79,27 @@ _MEMO_MAX_BYTES = 64 * 1024 * 1024
 
 
 def _audio_kernel(cfg: PipelineConfig):
+    """Batched audio verification. Two gates are vectorized across the
+    whole Arrow batch before any per-pair kernel dispatch:
+
+      * length gate — event counts read straight from the 4-byte pack
+        header (no unpack, no memo traffic) for every row at once;
+      * equal-content fast path — vk_a == vk_b means identical event
+        streams, where verify_audio_pair's answer is analytically
+        (span >= min_ms, span = full float32 ms sum) since the common run
+        is the whole sequence and the ZCR gap is exactly 0 <= tol. The
+        float32 pairwise sum matches the kernel's ms_a[0:n].sum()
+        bit-for-bit; the per-content span is memoized so an n-member
+        exact-duplicate group costs n sums, not n^2 kernel calls.
+
+    Only the surviving unequal pairs reach the suffix-array kernel loop.
+    """
+    min_ev, min_ms = cfg.verify_min_events, cfg.verify_min_audio_ms
+    assert cfg.verify_zcr_log2_tol >= 0.0
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         from ..kernels.clipfeat import unpack_events, verify_audio_pair
         unp: dict = {}
         used = [0]
@@ -94,55 +115,100 @@ def _audio_kernel(cfg: PipelineConfig):
                 used[0] += len(buf) + 64
             return r
 
+        spans: dict = {}    # vk -> full-stream float32 ms sum
         for pdf in batches:
-            if len(pdf) == 0:
+            m = len(pdf)
+            if m == 0:
                 continue
-            recs = []
-            for ka, kb, ba, bb in zip(pdf["vk_a"].to_numpy(),
-                                      pdf["vk_b"].to_numpy(),
-                                      pdf["vpack_a"].to_numpy(),
-                                      pdf["vpack_b"].to_numpy()):
-                ev_a, ms_a, zc_a = get(ka, ba)
-                ev_b, _, zc_b = get(kb, bb)
-                ok, span = verify_audio_pair(ev_a, ms_a, zc_a,
-                                             ev_b, zc_b, cfg)
-                recs.append((ka, kb, ok, float(span)))
-            yield pd.DataFrame(recs, columns=["vk_a", "vk_b",
-                                              "audio_okc", "span_ms_c"])
+            vka = pdf["vk_a"].to_numpy()
+            vkb = pdf["vk_b"].to_numpy()
+            va = pdf["vpack_a"].to_numpy()
+            vb = pdf["vpack_b"].to_numpy()
+            na = np.fromiter((int.from_bytes(b[:4], "little") for b in va),
+                             dtype=np.int64, count=m)
+            nb = np.fromiter((int.from_bytes(b[:4], "little") for b in vb),
+                             dtype=np.int64, count=m)
+            ok = np.zeros(m, dtype=bool)
+            span = np.zeros(m, dtype=np.float64)
+            alive = (na >= min_ev) & (nb >= min_ev)
+            eq = alive & (vka == vkb)
+            for i in np.flatnonzero(eq):
+                k = vka[i]
+                s = spans.get(k)
+                if s is None:
+                    if len(spans) > 1 << 20:
+                        spans.clear()
+                    n = int(na[i])
+                    s = spans[k] = float(np.frombuffer(
+                        va[i], dtype="<f4", count=n, offset=4 + 4 * n).sum())
+                span[i] = s
+                ok[i] = s >= min_ms
+            for i in np.flatnonzero(alive & ~eq):
+                ev_a, ms_a, zc_a = get(vka[i], va[i])
+                ev_b, _, zc_b = get(vkb[i], vb[i])
+                ok[i], span[i] = verify_audio_pair(ev_a, ms_a, zc_a,
+                                                   ev_b, zc_b, cfg)
+            yield pd.DataFrame({"vk_a": vka, "vk_b": vkb,
+                                "audio_okc": ok, "span_ms_c": span})
     return fn
 
 
 def _text_kernel():
+    """Batched text verification: the equal-content fast path (tk_a ==
+    tk_b → LCS is the whole normalized string) is split off across the
+    whole Arrow batch, so exact-duplicate pairs cost one memoized
+    normalize per distinct content; only unequal pairs reach the
+    per-pair suffix kernel."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernels.clipfeat import verify_text_pair
+        import numpy as np
+
+        from ..kernels.clipfeat import _text_memo, verify_text_pair
 
         class _BoundedMemo(dict):
-            # raw key + normalized copy + int32 codes ≈ 6 bytes/char
+            # accounted per entry: raw key + normalized copy (str overhead
+            # + up to 4 B/char) + lazily-materialized int32 codes array
+            # (4 B per normalized char, added in __setitem__ up front so
+            # the in-place list mutation in _memo_codes cannot bypass the
+            # budget) ≈ conservatively 12 bytes/char
             used = 0
 
             def __setitem__(self, k, v):
                 if self.used > _MEMO_MAX_BYTES:
                     self.clear()
                     self.used = 0
-                self.used += 6 * len(k) + 64
+                self.used += 12 * len(k) + 128
                 super().__setitem__(k, v)
 
         memo = _BoundedMemo()
         for pdf in batches:
-            if len(pdf) == 0:
+            m = len(pdf)
+            if m == 0:
                 continue
-            recs = [(ka, kb, int(verify_text_pair(str(ta), str(tb), memo)))
-                    for ka, kb, ta, tb in zip(pdf["tk_a"].to_numpy(),
-                                              pdf["tk_b"].to_numpy(),
-                                              pdf["transcript_a"].to_numpy(),
-                                              pdf["transcript_b"].to_numpy())]
-            yield pd.DataFrame(recs, columns=["tk_a", "tk_b", "nchars"])
+            tka = pdf["tk_a"].to_numpy()
+            tkb = pdf["tk_b"].to_numpy()
+            ta = pdf["transcript_a"].to_numpy()
+            tb = pdf["transcript_b"].to_numpy()
+            nch = np.zeros(m, dtype=np.int64)
+            eq = tka == tkb
+            for i in np.flatnonzero(eq):
+                nch[i] = len(_text_memo(str(ta[i]), memo)[0])
+            for i in np.flatnonzero(~eq):
+                nch[i] = verify_text_pair(str(ta[i]), str(tb[i]), memo)
+            yield pd.DataFrame({"tk_a": tka, "tk_b": tkb,
+                                "nchars": nch.astype(np.int32)})
     return fn
 
 
 def verify_candidates(cand: DataFrame, feats: DataFrame,
-                      cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    """Candidate pairs + features → confirmed pairs (audio_ok OR text_ok)."""
+                      cfg: PipelineConfig = DEFAULT,
+                      n_feats: int | None = None) -> DataFrame:
+    """Candidate pairs + features → confirmed pairs (audio_ok OR text_ok).
+
+    `n_feats` (optional) is the known feature-row count, used only to pick
+    broadcast vs shuffle for the slim side tables — callers that already
+    know it (pipeline stage manifests record per-chunk row counts; bench
+    counts the persisted features) pass it to skip a count() action here.
+    """
     # slim per-clip side table: simhashes + content keys only, straight
     # off the feature scan (md5 is computed map-side; the multi-KB payload
     # columns are pruned, so there is nothing to restrict). When the WHOLE
@@ -153,7 +219,8 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     slim_all = feats.select("clip_id", "simhash_audio", "simhash_text",
                             F.md5("vpack").alias("vk"),
                             F.md5("transcript").alias("tk"))
-    n_feats = feats.count()
+    if n_feats is None:
+        n_feats = feats.count()
     if n_feats * _SLIM_ROW_BYTES <= _BROADCAST_MAX_BYTES:
         slim, wrap = slim_all, F.broadcast
     else:
@@ -163,8 +230,9 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
         slim = slim_all.join(need, "clip_id", "leftsemi")
         wrap = (lambda df: df)
     # persist: the a-side and b-side broadcasts would otherwise EACH
-    # re-scan the features and re-md5 every multi-KB payload
-    slim = slim.persist()
+    # re-scan the features and re-md5 every multi-KB payload (scoped:
+    # released when the caller's cache_scope exits post-materialization)
+    slim = scoped_persist(slim)
     fa = wrap(slim.select(F.col("clip_id").alias("a"),
                           F.col("simhash_audio").alias("sha_a"),
                           F.col("simhash_text").alias("sht_a"),
@@ -192,7 +260,8 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
                       "try_audio", "try_text")
               # three consumers (audio keys, text keys, final assembly):
               # materialize the slim pair table once
-              .persist())
+              )
+    joined = scoped_persist(joined)
 
     # kernel-input parallelism is set EXPLICITLY by core count: the key
     # tables are a few MB, so AQE's byte-based coalescing would shrink
@@ -210,9 +279,8 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     # payload rows never shuffle. (At a scale where the probed-content
     # payload table outgrows broadcast budgets, drop the hints — the
     # fallback is a shuffle join on 16-byte keys.)
-    audio_keys = (joined.where("try_audio")
-                  .select("vk_a", "vk_b").distinct()
-                  .persist())
+    audio_keys = scoped_persist(joined.where("try_audio")
+                                .select("vk_a", "vk_b").distinct())
     vk_need = (audio_keys.select(F.col("vk_a").alias("vk"))
                .unionByName(audio_keys.select(F.col("vk_b").alias("vk")))
                .distinct())
@@ -221,10 +289,10 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     # materialization each build re-runs the feature scan, the semi-join
     # AND the dropDuplicates shuffle (4 heavy stages instead of 2, REST
     # stage metrics showed the duplicates among the top verify stages)
-    vp_tbl = (feats.select(F.md5("vpack").alias("vk"), "vpack")
-              .join(F.broadcast(vk_need), "vk", "leftsemi")
-              .dropDuplicates(["vk"])
-              .persist())
+    vp_tbl = scoped_persist(
+        feats.select(F.md5("vpack").alias("vk"), "vpack")
+        .join(F.broadcast(vk_need), "vk", "leftsemi")
+        .dropDuplicates(["vk"]))
     audio_in = (audio_keys.repartition(par)
                 .join(F.broadcast(vp_tbl.select(F.col("vk").alias("vk_a"),
                                                 F.col("vpack")
@@ -234,16 +302,15 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
                                                 .alias("vpack_b"))), "vk_b"))
     audio_res = audio_in.mapInPandas(_audio_kernel(cfg), _AUDIO_RES_SCHEMA)
 
-    text_keys = (joined.where("try_text")
-                 .select("tk_a", "tk_b").distinct()
-                 .persist())
+    text_keys = scoped_persist(joined.where("try_text")
+                               .select("tk_a", "tk_b").distinct())
     tk_need = (text_keys.select(F.col("tk_a").alias("tk"))
                .unionByName(text_keys.select(F.col("tk_b").alias("tk")))
                .distinct())
-    tx_tbl = (feats.select(F.md5("transcript").alias("tk"), "transcript")
-              .join(F.broadcast(tk_need), "tk", "leftsemi")
-              .dropDuplicates(["tk"])
-              .persist())
+    tx_tbl = scoped_persist(
+        feats.select(F.md5("transcript").alias("tk"), "transcript")
+        .join(F.broadcast(tk_need), "tk", "leftsemi")
+        .dropDuplicates(["tk"]))
     text_in = (text_keys.repartition(par)
                .join(F.broadcast(
                    tx_tbl.select(F.col("tk").alias("tk_a"),

@@ -156,7 +156,8 @@ def jaccard_pairs(df: DataFrame, threshold: float = JACCARD_THRESHOLD
     # the gram table feeds dfreq, sizes, the prefix join AND the pair
     # verification — checkpoint it once instead of re-tokenizing the corpus
     # in every branch
-    g = _gram_hashed(df).persist()
+    from ..engine.scope import scoped_persist
+    g = scoped_persist(_gram_hashed(df))
     return _pair_jaccard(prefix_candidates(g, threshold), g, threshold)
 
 
@@ -269,7 +270,8 @@ def minhash_lsh_pairs(df: DataFrame, cfg: PipelineConfig = DEFAULT,
             .distinct())
     # exact Jaccard ONLY on the band-collision survivors (round 1 computed
     # the full exact join and semi-joined after — LSH was pure overhead)
-    return _pair_jaccard(cand, _gram_hashed(df).persist(),
+    from ..engine.scope import scoped_persist
+    return _pair_jaccard(cand, scoped_persist(_gram_hashed(df)),
                          threshold)
 
 
