@@ -102,8 +102,17 @@ def worker(cpus: int, what: str, path: str, out: str) -> None:
         clus = S_clust.connected_components(conf.select("a", "b"),
                                             clips.select("clip_id"))
         n_clus = clus.count()
+        # order-insensitive value hash of the confirmed set: lets the
+        # scaling ladder assert BIT-IDENTICAL results across parallelism
+        # levels (the cheap stand-in for an oracle at tiers too big for a
+        # single-node oracle run)
+        from pyspark.sql import functions as F
+        h = conf.agg(F.expr(
+            "bit_xor(xxhash64(a, b, audio_ok, text_ok))").alias("h")
+        ).collect()[0]["h"]
         res = {"wall_s": time.time() - t0, "rows": n, "candidates": n_cand,
-               "confirmed": n_conf, "cluster_rows": n_clus}
+               "confirmed": n_conf, "cluster_rows": n_clus,
+               "confirmed_hash": str(h)}
     else:
         raise SystemExit(f"unknown worker task {what}")
     spark.stop()
@@ -271,6 +280,45 @@ def main() -> None:
             d[f"capability_efficiency_{lo}to{hi}"] = round(eff, 3)
         scale[what] = d
 
+    # ---- scale-tier N → 4N ladder: the north-rule scaling number ----------
+    # The 100k tier carries ~40 s of data-size-INDEPENDENT driver latency
+    # (CC fixpoint barriers, AQE stage scheduling, broadcast builds —
+    # BENCH.md decomposes it stage by stage), which compresses its e2e
+    # efficiency no matter how well the dataflow partitions. The honest
+    # N→4N measurement runs the same job on the SAME input at 4x the data,
+    # where that fixed cost sits below ~10% of the 8-core wall — the
+    # operating point a real multi-executor job lives at. Results are
+    # asserted BIT-IDENTICAL across the two parallelism levels.
+    if os.environ.get("SPARK_GRAFT_SCALE_LADDER", "1") != "0":
+        from cdstore_spark import golden as _g
+        scale_n = _g.TIERS["scale"][0]
+        scale_clips = _ensure_bench_clips("scale")
+        per, samples = {}, {}
+        for cpus in (2, 8):
+            print(f"bench: scale-tier e2e ({scale_n} clips) at "
+                  f"local[{cpus}] ...", file=sys.stderr)
+            r = _run_level(cpus, "e2e", scale_clips)
+            per[cpus], samples[cpus] = r["wall_s"], r
+            queries_s[f"e2e_scale_local{cpus}"] = round(r["wall_s"], 2)
+        assert samples[2]["confirmed"] == samples[8]["confirmed"], samples
+        assert (samples[2]["confirmed_hash"]
+                == samples[8]["confirmed_hash"]), samples
+        d = {"levels": [2, 8], "n_clips": scale_n,
+             "confirmed_pairs": samples[8]["confirmed"],
+             "confirmed_hash_match": True}
+        for cpus in (2, 8):
+            d[f"wall_s_local{cpus}"] = round(per[cpus], 2)
+            d[f"clips_per_sec_local{cpus}"] = round(scale_n / per[cpus], 1)
+        d["scaling_efficiency_2to8"] = round((per[2] / per[8]) / 4, 3)
+        _history_append("e2e_scale", per)
+        best = _history_min("e2e_scale", per)
+        for cpus in (2, 8):
+            d[f"best_wall_s_local{cpus}"] = round(best[cpus], 2)
+        d["capability_efficiency_2to8"] = round((best[2] / best[8]) / 4, 3)
+        scale["e2e_scale"] = d
+        print(f"bench: scale-tier e2e eff 2→8 = "
+              f"{d['scaling_efficiency_2to8']}", file=sys.stderr)
+
     result = {
         "metric": f"dedup_pipeline_e2e_wall_{tier}_local{CPUS}",
         "value": round(e2e["wall_s"], 2),
@@ -335,7 +383,8 @@ def _write_bench_md(r: dict) -> None:
                   for lo, hi in zip(levels, levels[1:])]
         lines.append(f"| {what} (this run) | " + " | ".join(cells) + " |")
         cells = [f"{d[f'best_wall_s_local{c}']}s" for c in levels]
-        cells += [str(round(r["n_clips"] / d[f"best_wall_s_local{c}"], 1))
+        cells += [str(round(d.get("n_clips", r["n_clips"])
+                            / d[f"best_wall_s_local{c}"], 1))
                   for c in levels]
         cells += [f"**{d[f'capability_efficiency_{lo}to{hi}']}**"
                   for lo, hi in zip(levels, levels[1:])]

@@ -11,10 +11,8 @@ Each iteration eagerly localCheckpoints to truncate the growing lineage
 plan references its parent several times, so without per-round truncation
 Catalyst's plan-canonicalization walk grows exponentially in the round
 count. The convergence signature then costs one cheap scan of the
-checkpointed edge set. Round-4 trims: large_star no longer pays a
-distinct shuffle (small_star dedups before the signature), the input
-edge set is persisted rather than checkpointed (released after round 1),
-and no cache blocks outlive the call.
+checkpointed edge set; no cache blocks outlive the call (checkpoint
+RDDs are GC-managed).
 
 large_star: every node points its LARGER neighbors at the minimum of its
 neighborhood (incl. itself). small_star: every node points its smaller-or-
@@ -38,13 +36,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
     nbrs = _sym(edges)
     mins = (nbrs.groupBy("u").agg(F.min("v").alias("mv"))
             .select("u", F.least("mv", "u").alias("m")))
-    # no distinct here: duplicates are harmless (small_star dedups before
-    # the signature) and the extra shuffle per round costs more than the
-    # modest row inflation it removes
+    # the distinct is NOT optional: for a near-clique component every
+    # member v receives (v, min) once per smaller neighbor, and those
+    # duplicate keys multiply through small_star's join — dropping this
+    # dedup blew a 568k-edge run up ~5x (measured round 4)
     return (nbrs.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct())
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -69,18 +69,24 @@ def connected_components(pairs: DataFrame, universe: DataFrame,
     themselves.
     """
     def _sig(df: DataFrame) -> tuple:
-        # ONE action per round: scanning the freshly-persisted edge set
-        # both materializes the cache and returns the convergence
-        # signature (count + order-independent xxhash64 fold)
+        # convergence signature: count + order-independent xxhash64 fold,
+        # one cheap scan of the freshly-checkpointed edge set
         row = df.agg(F.count(F.lit(1)).alias("c"),
                      F.expr("bit_xor(xxhash64(u, v))").alias("h")
                      ).collect()[0]
         return (row["c"], row["h"])
 
+    # eager localCheckpoint, NOT persist: the checkpoint both cuts the
+    # upstream chain once and guarantees every round reads materialized
+    # blocks. A persisted initial set was measured to MISS cache lookup
+    # when referenced through round 0's multi-branch plan (AQE-optimized
+    # cached plan vs the round's canonicalized subtree) — the round then
+    # silently recomputed the whole verify stage without its released
+    # side-table caches (~35x the checkpoint cost at the bench tier).
     edges = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
              .where(F.col("u") != F.col("v"))
              .distinct()
-             .persist())
+             .localCheckpoint(eager=True))
 
     # convergence = output edge set equals the INPUT's (fixpoint of
     # large_star∘small_star); seeding prev_sig with the initial edges'
@@ -99,13 +105,12 @@ def connected_components(pairs: DataFrame, universe: DataFrame,
         # trigger the driver accumulator-GC race (CLAUDE.md).
         cur = _small_star(_large_star(prev)).localCheckpoint(eager=True)
         sig = _sig(cur)             # cheap second job: scans the checkpoint
-        prev.unpersist()            # releases the initial persist; no-op
-        prev = cur                  # on checkpointed rounds
+        prev = cur
         if sig == prev_sig:
             break
         prev_sig = sig
-    # checkpoint RDDs are GC-managed — nothing to release at exit beyond
-    # the unpersists above, and downstream consumers read shallow plans
+    # checkpoint RDDs are GC-managed — nothing to release at exit, and
+    # downstream consumers read shallow plans
     labels = prev.select(F.col("u").alias("clip_id"),
                          F.col("v").alias("cluster_id"))
     return (universe.select("clip_id")

@@ -68,6 +68,16 @@ _TEXT_RES_SCHEMA = T.StructType([
 _BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 _SLIM_ROW_BYTES = 128
 
+#: tests clear this (with _BROADCAST_MAX_BYTES=0 and the session's auto
+#: broadcast thresholds at -1) to force the documented at-scale plan:
+#: candidate-universe semi-join + shuffle joins on 16-byte content keys
+#: instead of broadcast builds. Same confirmed set, different exchanges.
+_BROADCAST_HINTS = True
+
+
+def _hint(df: DataFrame) -> DataFrame:
+    return F.broadcast(df) if _BROADCAST_HINTS else df
+
 
 #: per-partition content-memo BYTE budget — each content appears in many
 #: pairs, so the kernels cache per-content preprocessing (event unpack /
@@ -291,13 +301,13 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     # stage metrics showed the duplicates among the top verify stages)
     vp_tbl = scoped_persist(
         feats.select(F.md5("vpack").alias("vk"), "vpack")
-        .join(F.broadcast(vk_need), "vk", "leftsemi")
+        .join(_hint(vk_need), "vk", "leftsemi")
         .dropDuplicates(["vk"]))
     audio_in = (audio_keys.repartition(par)
-                .join(F.broadcast(vp_tbl.select(F.col("vk").alias("vk_a"),
+                .join(_hint(vp_tbl.select(F.col("vk").alias("vk_a"),
                                                 F.col("vpack")
                                                 .alias("vpack_a"))), "vk_a")
-                .join(F.broadcast(vp_tbl.select(F.col("vk").alias("vk_b"),
+                .join(_hint(vp_tbl.select(F.col("vk").alias("vk_b"),
                                                 F.col("vpack")
                                                 .alias("vpack_b"))), "vk_b"))
     audio_res = audio_in.mapInPandas(_audio_kernel(cfg), _AUDIO_RES_SCHEMA)
@@ -309,14 +319,14 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
                .distinct())
     tx_tbl = scoped_persist(
         feats.select(F.md5("transcript").alias("tk"), "transcript")
-        .join(F.broadcast(tk_need), "tk", "leftsemi")
+        .join(_hint(tk_need), "tk", "leftsemi")
         .dropDuplicates(["tk"]))
     text_in = (text_keys.repartition(par)
-               .join(F.broadcast(
+               .join(_hint(
                    tx_tbl.select(F.col("tk").alias("tk_a"),
                                  F.col("transcript").alias("transcript_a"))),
                      "tk_a")
-               .join(F.broadcast(
+               .join(_hint(
                    tx_tbl.select(F.col("tk").alias("tk_b"),
                                  F.col("transcript").alias("transcript_b"))),
                      "tk_b"))
@@ -329,8 +339,8 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     # content-pair results outgrow broadcast, drop the hints and this is
     # a shuffle join of two slim tables
     out = (joined
-           .join(F.broadcast(audio_res), ["vk_a", "vk_b"], "left")
-           .join(F.broadcast(text_res), ["tk_a", "tk_b"], "left")
+           .join(_hint(audio_res), ["vk_a", "vk_b"], "left")
+           .join(_hint(text_res), ["tk_a", "tk_b"], "left")
            .select(
                "a", "b",
                (F.col("try_audio")

@@ -35,6 +35,16 @@ TIERS: dict[str, tuple[int, int]] = {
     "smoke": (1_000, 50),
     "correctness": (10_000, 500),
     "bench": (100_000, 5_000),
+    # scaling-ladder tier: 4x bench, used ONLY for the N→4N e2e scaling
+    # evidence (no single-node oracle run at this size — correctness is
+    # gated at smoke/correctness tiers; the ladder instead asserts the
+    # confirmed-pair count and value hash are IDENTICAL across
+    # parallelism levels). Big enough that fixed driver latency (~40 s:
+    # CC fixpoint barriers, AQE stage scheduling, broadcast builds —
+    # measured stage-by-stage in BENCH.md) amortizes below 10% of the
+    # 8-core wall, which is the regime a real multi-executor job at
+    # 10^12 rows lives in.
+    "scale": (400_000, 20_000),
 }
 SF_TO_TIER = {"sf0.001": "smoke", "sf0.01": "correctness", "sf0.1": "bench"}
 

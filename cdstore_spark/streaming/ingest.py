@@ -49,7 +49,13 @@ BAND_INDEX_BUCKETS = 16
 #: partitioning) — ensure_incremental_run then rebuilds instead of serving
 #: a stale-layout cache. Independent of ENGINE_LAYOUT_VERSION, which tracks
 #: featurize schema/semantics.
-STREAM_LAYOUT_VERSION = 2
+STREAM_LAYOUT_VERSION = 3
+
+#: compact the band index once this many epoch partitions accumulate above
+#: the newest base layer — an always-on stream otherwise accrues one
+#: (epoch, bp) partition pair per micro-batch FOREVER, and partition/file
+#: listing cost grows O(epochs) even though lookups prune correctly
+BAND_COMPACT_EVERY = 8
 
 
 def _with_bp(bands: DataFrame) -> DataFrame:
@@ -58,16 +64,130 @@ def _with_bp(bands: DataFrame) -> DataFrame:
                      F.lit(BAND_INDEX_BUCKETS)).cast("int"))
 
 
+#: epoch rides along as a DATA column in the base layer (partitioned by
+#: bp only), so lookups return one schema from both layers
+_BAND_COLS = ["channel", "band_idx", "band_hash", "clip_id", "bp",
+              "epoch"]
+
+
+def _base_root(band_dir: str) -> str:
+    return os.path.join(os.path.dirname(band_dir.rstrip("/")), "bands_base")
+
+
+def _latest_base(band_dir: str, before_epoch: int) -> tuple[int, str] | None:
+    """Newest completed base layer that is REPLAY-SAFE for `before_epoch`:
+    its compaction watermark W (epochs <= W are folded in) must satisfy
+    W < before_epoch, so a replayed epoch never sees itself or later
+    epochs through the base. Returns (W, path) or None."""
+    root = _base_root(band_dir)
+    if not os.path.isdir(root):
+        return None
+    best: tuple[int, str] | None = None
+    for name in os.listdir(root):
+        if not name.startswith("v="):
+            continue
+        try:
+            w = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        p = os.path.join(root, name)
+        if (w < before_epoch and os.path.exists(os.path.join(p, "_DONE"))
+                and (best is None or w > best[0])):
+            best = (w, p)
+    return best
+
+
+def _epoch_partitions(band_dir: str) -> list[int]:
+    if not os.path.isdir(band_dir):
+        return []
+    out = []
+    for name in os.listdir(band_dir):
+        if name.startswith("epoch="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
 def band_index_lookup(spark: SparkSession, band_dir: str, epoch_id: int,
                       bps: list[int]) -> DataFrame:
     """Reader over the persisted band index restricted to strictly-earlier
-    epochs and the probed hash-prefix buckets. Both predicates are on
-    partition columns, so they prune at the FILE level (partition
-    discovery) — the lookup never scans unprobed buckets or the current/
-    later epochs (replay safety)."""
-    return (spark.read.parquet(band_dir)
-            .where((F.col("epoch") < F.lit(int(epoch_id)))
-                   & (F.col("bp").isin([int(b) for b in bps]))))
+    epochs and the probed hash-prefix buckets.
+
+    Two layers: the newest replay-safe BASE (epochs <= its watermark W,
+    partitioned by bp only) plus the per-epoch partitions in (W, epoch_id).
+    All predicates are on partition columns, so they prune at the FILE
+    level (partition discovery) — the lookup never scans unprobed buckets
+    or the current/later epochs (replay safety), and after compaction the
+    number of listed partitions is bounded by BAND_INDEX_BUCKETS x
+    (BAND_COMPACT_EVERY + 1) instead of growing with stream lifetime."""
+    bp_list = [int(b) for b in bps]
+    base = _latest_base(band_dir, int(epoch_id))
+    w = base[0] if base else -1
+    recent = (spark.read.parquet(band_dir)
+              .where((F.col("epoch") < F.lit(int(epoch_id)))
+                     & (F.col("epoch") > F.lit(w))
+                     & (F.col("bp").isin(bp_list)))
+              .select(*_BAND_COLS))
+    if base is None:
+        return recent
+    base_df = (spark.read.parquet(base[1])
+               .where(F.col("bp").isin(bp_list))
+               # every base row has epoch <= W < epoch_id by construction;
+               # the residual filter is a cheap belt-and-suspenders
+               .where(F.col("epoch") < F.lit(int(epoch_id)))
+               .select(*_BAND_COLS))
+    return recent.unionByName(base_df)
+
+
+def compact_band_index(spark: SparkSession, band_dir: str,
+                       through_epoch: int) -> str:
+    """Fold every band-index epoch partition <= through_epoch (plus any
+    older base) into a new base layer partitioned by bp only, then drop
+    the folded epoch partitions and stale bases.
+
+    REPLAY SAFETY: callers must pass through_epoch <= the newest COMMITTED
+    epoch minus nothing further — i.e. only epochs that can never re-run.
+    process_batch(epoch E) compacts through E-1: Structured Streaming
+    replays at most the newest uncommitted epoch (E itself), and a
+    replayed E reads strictly-earlier epochs, all of which the base
+    covers. Crash-safe: the new base becomes visible only when its _DONE
+    marker lands; a crash before cleanup leaves folded epoch partitions
+    behind, which lookups already exclude (epoch > W filter) and the next
+    compaction removes."""
+    import shutil
+
+    root = _base_root(band_dir)
+    os.makedirs(root, exist_ok=True)
+    old = _latest_base(band_dir, int(through_epoch) + 1)
+    epochs = [e for e in _epoch_partitions(band_dir)
+              if e <= int(through_epoch) and (old is None or e > old[0])]
+    if not epochs:
+        return old[1] if old is not None else ""
+    src = (spark.read.parquet(band_dir)
+           .where(F.col("epoch") <= F.lit(int(through_epoch))
+                  if old is None else
+                  (F.col("epoch") > F.lit(old[0]))
+                  & (F.col("epoch") <= F.lit(int(through_epoch))))
+           .select(*_BAND_COLS))
+    if old is not None:
+        src = src.unionByName(
+            spark.read.parquet(old[1]).select(*_BAND_COLS))
+    out = os.path.join(root, f"v={int(through_epoch)}")
+    shutil.rmtree(out, ignore_errors=True)   # leftover from a crashed run
+    # one file per bp bucket — lookup reads exactly the probed buckets
+    (src.repartition("bp")
+     .write.mode("overwrite").partitionBy("bp").parquet(out))
+    with open(os.path.join(out, "_DONE"), "w") as f:
+        f.write(str(int(through_epoch)))
+    # cleanup AFTER the marker: folded epochs and superseded bases
+    for e in epochs:
+        shutil.rmtree(os.path.join(band_dir, f"epoch={e}"),
+                      ignore_errors=True)
+    if old is not None:
+        shutil.rmtree(old[1], ignore_errors=True)
+    return out
 
 
 def incremental_dedup_ingest(spark: SparkSession, input_dir: str,
@@ -166,6 +286,16 @@ def incremental_dedup_ingest(spark: SparkSession, input_dir: str,
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("epoch").parquet(feat_dir))
+            # long-horizon index hygiene: once enough epoch partitions
+            # pile up above the newest base, fold all COMMITTED epochs
+            # (< epoch_id — this epoch is still uncommitted and must stay
+            # replayable) into a fresh base layer keyed by bp only
+            old = _latest_base(band_dir, int(epoch_id))
+            loose = [e for e in _epoch_partitions(band_dir)
+                     if e < int(epoch_id)
+                     and (old is None or e > old[0])]
+            if len(loose) >= BAND_COMPACT_EVERY:
+                compact_band_index(spark_l, band_dir, int(epoch_id) - 1)
         finally:
             if new_bands is not None:
                 new_bands.unpersist()

@@ -98,6 +98,101 @@ class TestEngineMatchesOracle:
         pd.testing.assert_frame_equal(got, exp)
 
 
+class TestVerifyShuffleFallback:
+    def test_forced_shuffle_plan_matches_broadcast_path(
+            self, spark, smoke_golden, monkeypatch):
+        """The documented at-scale verify plan — candidate-universe
+        semi-join + shuffle joins instead of broadcast builds — must
+        produce the IDENTICAL confirmed set. Forced by shrinking the
+        broadcast budget to zero, dropping the explicit hints, and
+        disabling the session's auto-broadcast thresholds so AQE cannot
+        quietly re-broadcast the small sides."""
+        from cdstore_spark.engine import candidates as S_cand
+        from cdstore_spark.engine import verify as S_verify
+        from cdstore_spark.engine.scope import cache_scope
+
+        feats = S_feat.featurize_from_parquet(
+            spark, golden.clips_path("smoke"), CFG).persist()
+        cand, _ = S_cand.candidate_pairs(feats, CFG)
+        cand = cand.persist()
+        cand.count()
+
+        def run():
+            with cache_scope():
+                df = S_verify.verify_candidates(cand, feats, CFG)
+                pdf = df.toPandas()
+                plan = df._jdf.queryExecution().executedPlan().toString()
+            key = ["a", "b"]
+            return (pdf.sort_values(key).reset_index(drop=True), plan)
+
+        base_pdf, base_plan = run()
+        assert "BroadcastHashJoin" in base_plan   # the default fast path
+
+        monkeypatch.setattr(S_verify, "_BROADCAST_MAX_BYTES", 0)
+        monkeypatch.setattr(S_verify, "_BROADCAST_HINTS", False)
+        conf = spark.conf
+        keys = ("spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        saved = {k: conf.get(k, None) for k in keys}
+        try:
+            for k in keys:
+                conf.set(k, "-1")
+            forced_pdf, forced_plan = run()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
+        assert "BroadcastHashJoin" not in forced_plan, forced_plan[:2000]
+        pd.testing.assert_frame_equal(base_pdf, forced_pdf)
+        feats.unpersist()
+        cand.unpersist()
+
+
+class TestCacheHygiene:
+    def test_no_cache_blocks_survive_scoped_pipeline(self, spark,
+                                                     smoke_golden):
+        """Scoped persist lifetimes: after a full inline pipeline run whose
+        stages materialize inside cache_scope()s (the bench/driver
+        pattern), no cached RDD blocks may remain registered — a
+        long-lived driver session running many queries must not
+        accumulate MEMORY_AND_DISK blocks."""
+        from cdstore_spark.engine import candidates as S_cand
+        from cdstore_spark.engine import verify as S_verify
+        from cdstore_spark.engine.scope import cache_scope
+
+        spark.catalog.clearCache()
+        feats = S_feat.featurize_from_parquet(
+            spark, golden.clips_path("smoke"), CFG).persist()
+        n = feats.count()
+        with cache_scope():
+            cand, _ = S_cand.candidate_pairs(feats, CFG)
+            cand = cand.persist()
+            cand.count()
+        with cache_scope():
+            conf = S_verify.verify_candidates(cand, feats, CFG,
+                                              n_feats=n).persist()
+            conf.count()
+        clips = spark.read.parquet(golden.clips_path("smoke"))
+        S_clust.connected_components(
+            conf.select("a", "b"), clips.select("clip_id")).count()
+        # release the stage outputs the caller owns
+        for df in (conf, cand, feats):
+            df.unpersist(blocking=True)
+        # localCheckpoint RDDs (the CC fixpoint's lineage cuts) are
+        # ContextCleaner-managed — they unpersist on GC, not explicitly —
+        # so the leak assertion covers everything EXCEPT them
+        sc = spark.sparkContext._jsc.sc()
+        it = sc.getPersistentRDDs().toList()
+        left = []
+        for i in range(it.size()):
+            t = it.apply(i)
+            if "localCheckpoint" not in t._2().toString():
+                left.append((t._1(), t._2().toString()[:120]))
+        assert left == [], f"leaked cached RDDs: {left}"
+
+
 class TestConnectedComponents:
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_random_graph_matches_unionfind(self, spark, seed):

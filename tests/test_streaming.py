@@ -139,6 +139,87 @@ class TestIncrementalIngest:
                        .select("bp").distinct().toPandas()) \
             <= BAND_INDEX_BUCKETS
 
+    def test_band_index_compaction_bounds_partitions(self, spark,
+                                                     staged_clips, tmp_path,
+                                                     monkeypatch):
+        """Long-horizon hygiene: the band index must not accrue one epoch
+        partition per micro-batch forever. With the compaction threshold
+        forced low, committed epochs fold into a bp-keyed base layer; the
+        discovered pair set must be IDENTICAL to the uncompacted run's,
+        lookups must keep working across both layers, loose-epoch count
+        stays bounded, and a full checkpoint-wipe replay regenerates the
+        same pairs (replay safety of the compaction watermark)."""
+        import glob
+
+        from cdstore_spark.streaming import ingest as I
+        _, src = staged_clips
+        # 12 files x 10 clips at maxFilesPerTrigger=4 → 3 micro-batches
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from cdstore_spark.golden import _CLIPS_SCHEMA
+        in_dir = tmp_path / "incoming12"
+        in_dir.mkdir()
+        for i in range(12):
+            part = src.iloc[i * 10:(i + 1) * 10]
+            pq.write_table(pa.Table.from_pandas(part, schema=_CLIPS_SCHEMA,
+                                                preserve_index=False),
+                           str(in_dir / f"arrival_{i:02d}.parquet"))
+
+        # reference: same arrivals, no compaction
+        state_ref = str(tmp_path / "state_ref")
+        q = I.incremental_dedup_ingest(spark, str(in_dir), state_ref)
+        q.awaitTermination(300)
+        ref_pairs = sorted(map(tuple, spark.read.parquet(
+            os.path.join(state_ref, "pairs"))
+            .select("a", "b", "epoch").toPandas().values.tolist()))
+        ref_bands = spark.read.parquet(
+            os.path.join(state_ref, "bands")).count()
+        assert len(spark.read.parquet(os.path.join(state_ref, "bands"))
+                   .select("epoch").distinct().toPandas()) == 3
+
+        # compacted run: fold committed epochs once 2 pile up
+        monkeypatch.setattr(I, "BAND_COMPACT_EVERY", 2)
+        state = str(tmp_path / "state_cmp")
+        q = I.incremental_dedup_ingest(spark, str(in_dir), state)
+        q.awaitTermination(300)
+        band_dir = os.path.join(state, "bands")
+
+        got_pairs = sorted(map(tuple, spark.read.parquet(
+            os.path.join(state, "pairs"))
+            .select("a", "b", "epoch").toPandas().values.tolist()))
+        assert got_pairs == ref_pairs
+
+        # epochs 0,1 folded into base v=1; only epoch 2 stays loose
+        assert I._epoch_partitions(band_dir) == [2]
+        base = I._latest_base(band_dir, 3)
+        assert base is not None and base[0] == 1
+        # base is bp-partitioned, one file per bucket
+        for d in glob.glob(os.path.join(base[1], "bp=*")):
+            assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+
+        # a lookup as the NEXT epoch (3) sees every indexed row exactly
+        # once across base + loose layers
+        look = I.band_index_lookup(spark, band_dir, 3,
+                                   list(range(I.BAND_INDEX_BUCKETS)))
+        assert look.count() == ref_bands
+        assert set(look.select("epoch").distinct().toPandas()["epoch"]) \
+            == {0, 1, 2}
+        # replay-safe: a replayed epoch 2 must NOT see itself via the base
+        look2 = I.band_index_lookup(spark, band_dir, 2,
+                                    list(range(I.BAND_INDEX_BUCKETS)))
+        assert set(look2.select("epoch").distinct().toPandas()["epoch"]) \
+            == {0, 1}
+
+        # full checkpoint-wipe replay over the compacted state regenerates
+        # the identical pair set (watermark < every replayable epoch)
+        shutil.rmtree(os.path.join(state, "_checkpoint"))
+        q = I.incremental_dedup_ingest(spark, str(in_dir), state)
+        q.awaitTermination(300)
+        replay_pairs = sorted(map(tuple, spark.read.parquet(
+            os.path.join(state, "pairs"))
+            .select("a", "b", "epoch").toPandas().values.tolist()))
+        assert replay_pairs == ref_pairs
+
     def test_cross_batch_pairs_found(self, spark, staged_clips, tmp_path):
         """Planted duplicates split across arrival files must still pair up
         (new-vs-old band index join)."""
