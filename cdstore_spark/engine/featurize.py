@@ -29,7 +29,7 @@ CLIP_SCHEMA = T.StructType([
     T.StructField("transcript", T.StringType()),
 ])
 
-FEATURE_SCHEMA = T.StructType([
+_RAW_FEATURE_SCHEMA = T.StructType([
     T.StructField("clip_id", T.StringType()),
     T.StructField("n_events", T.IntegerType()),
     # events + event_ms + event_zcr packed into ONE binary blob
@@ -53,6 +53,23 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("pcm_sha256", T.StringType()),
     T.StructField("transcript", T.StringType()),
 ])
+
+#: public feature schema = kernel output + the 16-byte CONTENT KEYS
+#: (md5 of the packed event stream / of the transcript). They are computed
+#: ONCE here, fused into the featurize stage's output projection (JVM md5,
+#: no extra stage) — verify's slim pair assembly and both payload tables
+#: consume them directly; computing them lazily in verify instead re-scans
+#: the multi-KB cached payload columns once per consumer (measured: ~150
+#: task-seconds across three scans at the 400k tier).
+FEATURE_SCHEMA = T.StructType(
+    _RAW_FEATURE_SCHEMA.fields
+    + [T.StructField("vk", T.StringType()), T.StructField("tk", T.StringType())])
+
+
+def _with_content_keys(df: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+    return df.withColumn("vk", F.md5("vpack")).withColumn(
+        "tk", F.md5("transcript"))
 
 
 def load_clips(spark: SparkSession, path: str) -> DataFrame:
@@ -81,7 +98,7 @@ def featurize(clips: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
             yield _engine_frame(featurize_batch(pdf, cfg,
                                                 with_pcm_stats=True), pdf)
 
-    return clips.mapInPandas(fn, FEATURE_SCHEMA)
+    return _with_content_keys(clips.mapInPandas(fn, _RAW_FEATURE_SCHEMA))
 
 
 def _engine_frame(out: pd.DataFrame, src: pd.DataFrame) -> pd.DataFrame:
@@ -134,7 +151,7 @@ def featurize_from_parquet(spark: SparkSession, path: str,
         n = len(units)
         units = [u for i, u in enumerate(units) if unit_filter(i, n)]
     if not units:
-        return spark.createDataFrame([], FEATURE_SCHEMA)
+        return spark.createDataFrame([], FEATURE_SCHEMA)  # keys included
     # pack several row-group units per task: each mapInPandas task carries
     # ~0.2-0.3 s of fixed Arrow/python-eval setup, so hundreds of one-unit
     # tasks burn more core-time on overhead than on work (measured); a few
@@ -159,4 +176,4 @@ def featurize_from_parquet(spark: SparkSession, path: str,
                                                     with_pcm_stats=True),
                                     cpdf)
 
-    return unit_df.mapInPandas(fn, FEATURE_SCHEMA)
+    return _with_content_keys(unit_df.mapInPandas(fn, _RAW_FEATURE_SCHEMA))

@@ -27,6 +27,24 @@ def get_spark(app: str = "cdstore-spark", parallelism: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # broadcast decisions belong to AQE, which sees EXACT stage sizes:
+        # the verify side tables (probed payloads, content-pair results)
+        # are a few MB..tens of MB at test tiers (broadcast wins — avoids
+        # re-shuffling the big pair table) but grow past any broadcast
+        # budget with corpus size (round 4 measured 91 MB payloads /
+        # ~230 MB results at 4x data, where driver-serial broadcast
+        # builds dominated the scaling ladder). No static hints in the
+        # engine; this threshold lets AQE convert up to 64 MB measured —
+        # static planning keeps the conservative 10 MB estimate-based
+        # default.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+        # coalescing floor: with the default 1 MB minPartitionSize a
+        # few-MB shuffle coalesces to 1-2 partitions — fatal when it
+        # feeds a per-ROW-expensive Python kernel stage (cost invisible
+        # to byte-based AQE; measured +24 s). 64 KB keeps parallelism-
+        # first sizing in charge down to tiny stages.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                "64k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Spark's JVM-side ArrowWriter is super-linear in batch size for
         # wide BinaryType rows (measured: batch=16 moves the same bytes 6x

@@ -68,15 +68,14 @@ _TEXT_RES_SCHEMA = T.StructType([
 _BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 _SLIM_ROW_BYTES = 128
 
-#: tests clear this (with _BROADCAST_MAX_BYTES=0 and the session's auto
-#: broadcast thresholds at -1) to force the documented at-scale plan:
-#: candidate-universe semi-join + shuffle joins on 16-byte content keys
-#: instead of broadcast builds. Same confirmed set, different exchanges.
-_BROADCAST_HINTS = True
-
-
-def _hint(df: DataFrame) -> DataFrame:
-    return F.broadcast(df) if _BROADCAST_HINTS else df
+# NO static broadcast hints on the side-table joins below: whether a
+# probed-payload or content-pair-result table should broadcast depends on
+# corpus size (tens of MB at test tiers, unbounded at production scale),
+# and AQE decides from EXACT runtime stage sizes under the session's
+# adaptive.autoBroadcastJoinThreshold (64 MB, session.py) — broadcast at
+# test tiers, shuffle at scale, no driver-serial build on the big path.
+# Tests force the all-shuffle plan by setting the thresholds to -1 and
+# _BROADCAST_MAX_BYTES to 0.
 
 
 #: per-partition content-memo BYTE budget — each content appears in many
@@ -226,9 +225,10 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     # candidate-universe semi-join needed at all (materializing the
     # payload-wide universe was a measured ~8 s at the 100k tier). Above
     # the budget, restrict to the candidate universe first and shuffle.
+    # content keys (vk/tk) are computed ONCE by featurize and cached with
+    # the feature rows — no md5 recompute over the multi-KB payloads here
     slim_all = feats.select("clip_id", "simhash_audio", "simhash_text",
-                            F.md5("vpack").alias("vk"),
-                            F.md5("transcript").alias("tk"))
+                            "vk", "tk")
     if n_feats is None:
         n_feats = feats.count()
     if n_feats * _SLIM_ROW_BYTES <= _BROADCAST_MAX_BYTES:
@@ -300,14 +300,14 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     # AND the dropDuplicates shuffle (4 heavy stages instead of 2, REST
     # stage metrics showed the duplicates among the top verify stages)
     vp_tbl = scoped_persist(
-        feats.select(F.md5("vpack").alias("vk"), "vpack")
-        .join(_hint(vk_need), "vk", "leftsemi")
+        feats.select("vk", "vpack")
+        .join(vk_need, "vk", "leftsemi")
         .dropDuplicates(["vk"]))
     audio_in = (audio_keys.repartition(par)
-                .join(_hint(vp_tbl.select(F.col("vk").alias("vk_a"),
+                .join((vp_tbl.select(F.col("vk").alias("vk_a"),
                                                 F.col("vpack")
                                                 .alias("vpack_a"))), "vk_a")
-                .join(_hint(vp_tbl.select(F.col("vk").alias("vk_b"),
+                .join((vp_tbl.select(F.col("vk").alias("vk_b"),
                                                 F.col("vpack")
                                                 .alias("vpack_b"))), "vk_b"))
     audio_res = audio_in.mapInPandas(_audio_kernel(cfg), _AUDIO_RES_SCHEMA)
@@ -318,15 +318,15 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
                .unionByName(text_keys.select(F.col("tk_b").alias("tk")))
                .distinct())
     tx_tbl = scoped_persist(
-        feats.select(F.md5("transcript").alias("tk"), "transcript")
-        .join(_hint(tk_need), "tk", "leftsemi")
+        feats.select("tk", "transcript")
+        .join(tk_need, "tk", "leftsemi")
         .dropDuplicates(["tk"]))
     text_in = (text_keys.repartition(par)
-               .join(_hint(
+               .join((
                    tx_tbl.select(F.col("tk").alias("tk_a"),
                                  F.col("transcript").alias("transcript_a"))),
                      "tk_a")
-               .join(_hint(
+               .join((
                    tx_tbl.select(F.col("tk").alias("tk_b"),
                                  F.col("transcript").alias("transcript_b"))),
                      "tk_b"))
@@ -339,8 +339,8 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     # content-pair results outgrow broadcast, drop the hints and this is
     # a shuffle join of two slim tables
     out = (joined
-           .join(_hint(audio_res), ["vk_a", "vk_b"], "left")
-           .join(_hint(text_res), ["tk_a", "tk_b"], "left")
+           .join(audio_res, ["vk_a", "vk_b"], "left")
+           .join(text_res, ["tk_a", "tk_b"], "left")
            .select(
                "a", "b",
                (F.col("try_audio")

@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 from . import golden, oracle
 from .config import DEFAULT, PipelineConfig
 
-VERSION = 6
+VERSION = 7
 FUNC_DIR = os.path.join(golden.DATA_ROOT, "func_correctness")
 #: the driver grades at sf0.01 — goldens are frozen against that tier
 SF_DIR = "/root/testdata/sf0.01"
@@ -104,26 +104,41 @@ def _expected_simhash_pairs(docs: pd.DataFrame, cfg: PipelineConfig,
             ).astype(np.uint64, copy=False)
     sim = K_sketch.simhash_batch(vals, offs, cfg)
     ids = docs["doc_id"].to_numpy()
-    # block into 4 x 16-bit keys; candidates collide in >= 1 block
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for i in range(len(docs)):
-        for k in range(4):
-            key = (k, int((sim[i] >> np.uint64(16 * k)) & np.uint64(0xFFFF)))
-            buckets.setdefault(key, []).append(i)
-    seen: set[tuple[int, int]] = set()
-    recs = []
-    for members in buckets.values():
-        for ii in range(len(members)):
-            for jj in range(ii + 1, len(members)):
-                x, y = members[ii], members[jj]
-                a, b = (ids[x], ids[y]) if ids[x] < ids[y] else (ids[y], ids[x])
-                if (a, b) in seen:
-                    continue
-                seen.add((a, b))
-                ham = int(bin(int(sim[x] ^ sim[y])).count("1"))
-                if ham <= max_bits:
-                    recs.append((int(a), int(b), ham))
-    return pd.DataFrame(recs, columns=["a", "b", "hamming"])
+
+    # INDEPENDENT recompute of the blocking + Hamming filter: a DuckDB
+    # popcount-SQL naive self-join over the per-doc sketches (only the
+    # sketch definition itself — simhash_batch above — is shared, same as
+    # _naive_winnow shares only the hash definition). Semantics mirrored
+    # from the operator's documented contract, not its code: 4 x 16-bit
+    # block keys, any-block collision, exact bit_count(xor) <= max_bits.
+    # BIGINT arithmetic-shift + & 65535 extracts the same 16-bit fields as
+    # the engine's unsigned shifts (sign extension only touches bits > 15),
+    # and bit_count of a two's-complement xor equals the unsigned popcount.
+    import duckdb
+    con = duckdb.connect()
+    con.register("sims", pd.DataFrame({
+        "doc_id": ids.astype(np.int64),
+        "sim": sim.view(np.int64)}))
+    out = con.execute("""
+        WITH blocks AS (
+            SELECT doc_id, sim, k, (sim >> (16 * k)) & 65535 AS key
+            FROM sims, (SELECT unnest(range(4)) AS k) ks
+        ),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                   l.sim AS sl, r.sim AS sr
+            FROM blocks l JOIN blocks r USING (k, key)
+            WHERE l.doc_id < r.doc_id
+        )
+        SELECT a, b, hamming FROM (
+            SELECT a, b, bit_count(xor(sl, sr)) AS hamming FROM cand
+        ) WHERE hamming <= ?
+        ORDER BY a, b
+    """, [int(max_bits)]).df()
+    con.close()
+    return pd.DataFrame({"a": out["a"].astype(np.int64),
+                         "b": out["b"].astype(np.int64),
+                         "hamming": out["hamming"].astype(np.int64)})
 
 
 def _naive_winnow(text: str, window: int = 8, keep: int = 16) -> list[int]:

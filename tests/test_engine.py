@@ -129,7 +129,6 @@ class TestVerifyShuffleFallback:
         assert "BroadcastHashJoin" in base_plan   # the default fast path
 
         monkeypatch.setattr(S_verify, "_BROADCAST_MAX_BYTES", 0)
-        monkeypatch.setattr(S_verify, "_BROADCAST_HINTS", False)
         conf = spark.conf
         keys = ("spark.sql.autoBroadcastJoinThreshold",
                 "spark.sql.adaptive.autoBroadcastJoinThreshold")
