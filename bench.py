@@ -476,6 +476,24 @@ def _write_bench_md(r: dict) -> None:
         "`e2e_scale.scaling_efficiency_2to8` is the honest N→4N number; "
         "the 100k ladder is retained unvarnished above for continuity.",
         "",
+        "Round-4 measurements at the scale tier (same input, fresh JVM "
+        "per level, confirmed-pair count AND order-insensitive value "
+        "hash asserted identical across levels — 3,482,287 pairs, hash "
+        "3918411041430568867 on every run): before the round-4 serial "
+        "cuts, T2/T8 = 1113.9/365.9 s → eff 0.76; after (featurize-time "
+        "content keys removing three cached-payload md5 scans, "
+        "runtime-sized verify joins), T2/T8 = 1082.2/300.6 s → "
+        "**eff 0.90** (per-stage: featurize 0.79, candidates 0.79, "
+        "verify 1.15, cluster 0.57; the >1 and the 0.57 bracket "
+        "host-noise run-to-run variance of the smaller stage walls). "
+        "An earlier probe of pre-round-4 code measured 0.61 "
+        "(946.4/388.8 s; superseded code, not recorded in the history "
+        "file). An AQE-disabled cluster fixpoint was tried between the "
+        "two ladder runs and REVERTED after an interleaved A/B showed "
+        "the static planner sort-merge-joining every star round 6x "
+        "slower than AQE's runtime broadcast conversions "
+        "(cluster.py documents the numbers).",
+        "",
         "`docdedup` in the scaling tables is the document-channel ladder "
         "(MinHash → skew-bounded LSH band join → union-find over the "
         "planted hot corpus), pair set asserted identical across levels — "

@@ -76,62 +76,49 @@ def connected_components(pairs: DataFrame, universe: DataFrame,
                      ).collect()[0]
         return (row["c"], row["h"])
 
-    # AQE OFF for the fixpoint: with adaptive on, every round's eager
-    # checkpoint decomposes into ~9 query-stage materializations — each a
-    # separate driver-scheduled job — so an 8-round run pays ~100 driver
-    # barriers that neither data size nor core count amortizes (measured:
-    # ~2/3 of the cluster stage wall at the 400k tier was these barriers,
-    # scaling efficiency 0.5). The per-round plans here are fixed-shape
-    # small-row shuffles: runtime re-planning has nothing to improve, so
-    # pin the shuffle partition count and run each round as ONE job.
-    spark = pairs.sparkSession
-    conf = spark.conf
-    par = str(max(spark.sparkContext.defaultParallelism * 2, 8))
-    saved = {k: conf.get(k, None)
-             for k in ("spark.sql.adaptive.enabled",
-                       "spark.sql.shuffle.partitions")}
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.shuffle.partitions", par)
-    try:
-        # eager localCheckpoint, NOT persist: the checkpoint both cuts the
-        # upstream chain once and guarantees every round reads materialized
-        # blocks. A persisted initial set was measured to MISS cache lookup
-        # when referenced through round 0's multi-branch plan (AQE-optimized
-        # cached plan vs the round's canonicalized subtree) — the round then
-        # silently recomputed the whole verify stage without its released
-        # side-table caches (~35x the checkpoint cost at the bench tier).
-        edges = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
-                 .where(F.col("u") != F.col("v"))
-                 .distinct()
-                 .localCheckpoint(eager=True))
+    # AQE stays ON for the fixpoint — measured, not assumed: the ~10
+    # driver-scheduled query-stage jobs each round LOOK like pure barrier
+    # overhead, but disabling AQE here (pinned shuffle partitions, one job
+    # per round) ran 6x SLOWER on 568k edges at local[32] (8.4-22.7 s →
+    # 51.5-67.4 s, interleaved A/B, identical label hashes): the static
+    # planner sort-merge-joins every nbrs⋈mins round because checkpointed
+    # sources carry no size estimates, while AQE converts those joins to
+    # broadcasts from exact runtime sizes. The barriers are also mostly
+    # concurrent (AQE materializes independent exchanges in parallel).
+    #
+    # eager localCheckpoint, NOT persist: the checkpoint both cuts the
+    # upstream chain once and guarantees every round reads materialized
+    # blocks. A persisted initial set was measured to MISS cache lookup
+    # when referenced through round 0's multi-branch plan (AQE-optimized
+    # cached plan vs the round's canonicalized subtree) — the round then
+    # silently recomputed the whole verify stage without its released
+    # side-table caches (~35x the checkpoint cost at the bench tier).
+    edges = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .distinct()
+             .localCheckpoint(eager=True))
 
-        # convergence = output edge set equals the INPUT's (fixpoint of
-        # large_star∘small_star); seeding prev_sig with the initial edges'
-        # signature detects it on the first stable iteration instead of
-        # paying one extra full round to see two identical outputs
-        prev_sig = _sig(edges)
-        prev = edges
-        for _ in range(max_iter):
-            # eager localCheckpoint EVERY round: a round's logical plan
-            # references its parent ~6x (_sym self-unions + min joins), so
-            # without per-round truncation the tree — and Catalyst's plan
-            # canonicalization walk — grows exponentially with iteration
-            # count (measured: the driver burned minutes of single-thread
-            # CPU in doCanonicalize by round ~8 under a persist-only
-            # variant). Eager, not lazy: lazy checkpoints of metric-bearing
-            # plans trigger the driver accumulator-GC race (CLAUDE.md).
-            cur = _small_star(_large_star(prev)).localCheckpoint(eager=True)
-            sig = _sig(cur)         # cheap second job: scans the checkpoint
-            prev = cur
-            if sig == prev_sig:
-                break
-            prev_sig = sig
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                conf.unset(k)
-            else:
-                conf.set(k, v)
+    # convergence = output edge set equals the INPUT's (fixpoint of
+    # large_star∘small_star); seeding prev_sig with the initial edges'
+    # signature detects it on the first stable iteration instead of
+    # paying one extra full round to see two identical outputs
+    prev_sig = _sig(edges)
+    prev = edges
+    for _ in range(max_iter):
+        # eager localCheckpoint EVERY round: a round's logical plan
+        # references its parent ~6x (_sym self-unions + min joins), so
+        # without per-round truncation the tree — and Catalyst's plan
+        # canonicalization walk — grows exponentially with iteration
+        # count (measured: the driver burned minutes of single-thread CPU
+        # in doCanonicalize by round ~8 under a persist-only variant).
+        # Eager, not lazy: lazy checkpoints of metric-bearing plans
+        # trigger the driver accumulator-GC race (CLAUDE.md).
+        cur = _small_star(_large_star(prev)).localCheckpoint(eager=True)
+        sig = _sig(cur)             # cheap second job: scans the checkpoint
+        prev = cur
+        if sig == prev_sig:
+            break
+        prev_sig = sig
     # checkpoint RDDs are GC-managed — nothing to release at exit, and
     # downstream consumers read shallow plans
     labels = prev.select(F.col("u").alias("clip_id"),
