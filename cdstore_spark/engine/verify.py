@@ -110,6 +110,7 @@ def _audio_kernel(cfg: PipelineConfig):
         import numpy as np
 
         from ..kernels.clipfeat import unpack_events, verify_audio_pair
+        from ..kernels.suffix import lcs_prefix
         unp: dict = {}
         used = [0]
 
@@ -119,9 +120,16 @@ def _audio_kernel(cfg: PipelineConfig):
                 if used[0] > _MEMO_MAX_BYTES:
                     unp.clear()
                     used[0] = 0
-                r = unp[k] = unpack_events(buf)
+                ev, ms, zc = unpack_events(buf)
+                # prefix hashes memoized WITH the content: the O(n) LCS
+                # preprocessing runs once per distinct content, not per
+                # pair (bit-identical — lcs_prefix is what the kernel
+                # computes itself when not supplied)
+                r = unp[k] = (ev, ms, zc,
+                              lcs_prefix(ev.astype(np.int64)))
                 # frombuffer views pin buf; account the packed source size
-                used[0] += len(buf) + 64
+                # + the 8 B/event prefix array
+                used[0] += len(buf) + 8 * (ev.shape[0] + 1) + 64
             return r
 
         spans: dict = {}    # vk -> full-stream float32 ms sum
@@ -153,10 +161,12 @@ def _audio_kernel(cfg: PipelineConfig):
                 span[i] = s
                 ok[i] = s >= min_ms
             for i in np.flatnonzero(alive & ~eq):
-                ev_a, ms_a, zc_a = get(vka[i], va[i])
-                ev_b, _, zc_b = get(vkb[i], vb[i])
+                ev_a, ms_a, zc_a, pref_a = get(vka[i], va[i])
+                ev_b, _, zc_b, pref_b = get(vkb[i], vb[i])
                 ok[i], span[i] = verify_audio_pair(ev_a, ms_a, zc_a,
-                                                   ev_b, zc_b, cfg)
+                                                   ev_b, zc_b, cfg,
+                                                   pref_a=pref_a,
+                                                   pref_b=pref_b)
             yield pd.DataFrame({"vk_a": vka, "vk_b": vkb,
                                 "audio_okc": ok, "span_ms_c": span})
     return fn
@@ -176,16 +186,17 @@ def _text_kernel():
         class _BoundedMemo(dict):
             # accounted per entry: raw key + normalized copy (str overhead
             # + up to 4 B/char) + lazily-materialized int32 codes array
-            # (4 B per normalized char, added in __setitem__ up front so
-            # the in-place list mutation in _memo_codes cannot bypass the
-            # budget) ≈ conservatively 12 bytes/char
+            # (4 B/char) + uint64 prefix-hash array (8 B/char) — all
+            # charged in __setitem__ up front so the in-place list
+            # mutations in _memo_codes/_memo_pref cannot bypass the
+            # budget ≈ conservatively 20 bytes/char
             used = 0
 
             def __setitem__(self, k, v):
                 if self.used > _MEMO_MAX_BYTES:
                     self.clear()
                     self.used = 0
-                self.used += 12 * len(k) + 128
+                self.used += 20 * len(k) + 160
                 super().__setitem__(k, v)
 
         memo = _BoundedMemo()

@@ -129,7 +129,9 @@ def unpack_events(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def verify_audio_pair(ev_a: np.ndarray, ms_a: np.ndarray, zcr_a: np.ndarray,
                       ev_b: np.ndarray, zcr_b: np.ndarray,
-                      cfg: PipelineConfig) -> tuple[bool, float]:
+                      cfg: PipelineConfig,
+                      pref_a: np.ndarray | None = None,
+                      pref_b: np.ndarray | None = None) -> tuple[bool, float]:
     """Audio-channel suffix-array confirmation — a pure function of the two
     event streams (CONTENT-determined: every candidate pair with the same
     packed event contents gets the same answer, which is what lets the
@@ -156,8 +158,14 @@ def verify_audio_pair(ev_a: np.ndarray, ms_a: np.ndarray, zcr_a: np.ndarray,
     if ev_a.shape[0] == ev_b.shape[0] and np.array_equal(ev_a, ev_b):
         run, pa, pb = int(ev_a.shape[0]), 0, 0
     else:
-        run, pa, pb = K_suffix.longest_common_run(ev_a.astype(np.int64),
-                                                  ev_b.astype(np.int64))
+        # min_len: any run < verify_min_events is rejected with span 0
+        # below, so the kernel may prove rejection with one floor probe
+        # instead of resolving the exact sub-threshold length. pref_a/b
+        # (optional): per-content prefix hashes the engine memoizes across
+        # the many pairs sharing a content — identical results either way.
+        run, pa, pb = K_suffix.longest_common_run(
+            ev_a.astype(np.int64), ev_b.astype(np.int64),
+            min_len=cfg.verify_min_events, pref_a=pref_a, pref_b=pref_b)
     if run < cfg.verify_min_events:
         return False, 0.0
     span_ms = float(ms_a[pa: pa + run].sum())
@@ -190,6 +198,9 @@ def verify_text_pair(txt_a: str, txt_b: str,
         if na == nb:
             return len(na)
         ca, cb = _memo_codes(ea), _memo_codes(eb)
+        run, _, _ = K_suffix.longest_common_run(
+            ca, cb, pref_a=_memo_pref(ea), pref_b=_memo_pref(eb))
+        return int(run)
     run, _, _ = K_suffix.longest_common_run(ca, cb)
     return int(run)
 
@@ -197,7 +208,7 @@ def verify_text_pair(txt_a: str, txt_b: str,
 def _text_memo(txt: str, memo: dict) -> list:
     e = memo.get(txt)
     if e is None:
-        e = memo[txt] = [K_text.normalize(txt), None]
+        e = memo[txt] = [K_text.normalize(txt), None, None]
     return e
 
 
@@ -205,6 +216,15 @@ def _memo_codes(e: list) -> np.ndarray:
     if e[1] is None:
         e[1] = K_text.codes_from_normalized(e[0])
     return e[1]
+
+
+def _memo_pref(e: list) -> np.ndarray:
+    # per-content prefix hashes (lazy, like the codes array) — each content
+    # participates in many pairs, so the O(n) hash preprocessing runs once
+    if e[2] is None:
+        from . import suffix as K_suffix
+        e[2] = K_suffix.lcs_prefix(e[1])
+    return e[2]
 
 
 def verify_pair(ev_a: np.ndarray, ms_a: np.ndarray, zcr_a: np.ndarray,

@@ -58,18 +58,33 @@ def poly_prefix(x: np.ndarray) -> np.ndarray:
     n = x.shape[0]
     out = np.zeros(n + 1, dtype=U64)
     if n:
-        tmp = np.full(n, POLY_P, dtype=U64)
-        tmp[0] = U64(1)
-        powers = np.multiply.accumulate(tmp)
-        np.cumsum(x * powers, out=out[1:])
+        np.cumsum(x * _grow_powers(POLY_P, "_P_POWS", n), out=out[1:])
     return out
 
 
+#: power-ladder caches — the P**i / PINV**i arrays are deterministic and
+#: requested once per kernel CALL (verify runs 10^5..10^6 calls per task),
+#: so each cache grows monotonically and callers get read-only views.
+#: Values are independent of the requested length (multiply.accumulate
+#: prefix), so growth is bit-invisible to existing callers.
+_P_POWS = np.ones(1, dtype=U64)
+_PINV_POWS = np.ones(1, dtype=U64)
+
+
+def _grow_powers(base: np.uint64, name: str, n: int) -> np.ndarray:
+    cache = globals()[name]
+    if cache.shape[0] < n:
+        m = max(n, 2 * cache.shape[0], 1024)
+        tmp = np.full(m, base, dtype=U64)
+        tmp[0] = U64(1)
+        cache = np.multiply.accumulate(tmp)
+        globals()[name] = cache
+    return cache[:n]
+
+
 def poly_inv_powers(n: int) -> np.ndarray:
-    """[PINV**0, PINV**1, ..., PINV**(n-1)] as uint64."""
-    tmp = np.full(max(n, 1), POLY_PINV, dtype=U64)
-    tmp[0] = U64(1)
-    return np.multiply.accumulate(tmp)[:n]
+    """[PINV**0, PINV**1, ..., PINV**(n-1)] as uint64 (cached ladder)."""
+    return _grow_powers(POLY_PINV, "_PINV_POWS", max(n, 1))[:n]
 
 
 def span_hashes(prefix: np.ndarray, inv_pows: np.ndarray,

@@ -151,7 +151,20 @@ def longest_common_run_sa(a: np.ndarray, b: np.ndarray
     return length, pa, pb - na - 1
 
 
-def longest_common_run(a: np.ndarray, b: np.ndarray) -> tuple[int, int, int]:
+def lcs_prefix(tokens: np.ndarray) -> np.ndarray:
+    """Polynomial prefix-hash array of a token sequence — the per-content
+    preprocessing of longest_common_run, exposed so engines that verify
+    many pairs per content can compute it once per DISTINCT content and
+    pass it back in (bit-identical results either way)."""
+    from . import hashing as H
+    return H.poly_prefix(H.mix64(tokens.astype(np.uint64)))
+
+
+def longest_common_run(a: np.ndarray, b: np.ndarray,
+                       min_len: int = 1,
+                       pref_a: np.ndarray | None = None,
+                       pref_b: np.ndarray | None = None
+                       ) -> tuple[int, int, int]:
     """Longest common substring of two integer token sequences, via binary
     search on the run length with O(1) shift-invariant span hashes: a
     common run of length L exists iff some length-L window hash of `a`
@@ -161,19 +174,35 @@ def longest_common_run(a: np.ndarray, b: np.ndarray) -> tuple[int, int, int]:
     array construction on the few-hundred-token sequences the verify
     stage feeds it, which matters at 743k candidate pairs per 100k clips.
 
+    Two monotonicity-exploiting shortcut probes bracket the search (the
+    result is path-independent — the search converges to the same maximum
+    either way, and the start positions are reconstructed from it — so
+    these change probe COUNT, never the returned triple):
+
+      * containment probe at hi = min(na, nb) FIRST: near-dup corpora are
+        full-containment-heavy (truncation/pad/re-encode duplicates keep
+        one stream a contiguous run of the other), and a hit there
+        finishes in one probe instead of ~log2(n);
+      * `min_len` floor: callers that reject any run < min_len anyway
+        (the audio channel collapses sub-threshold runs to span 0) pass
+        it so a single miss at min_len proves rejection — returns
+        (0, -1, -1) without resolving the exact sub-threshold length.
+
     Equal span hashes stand in for equal content (64-bit polynomial —
     same collision model lcp_array_hashed already accepts). Returns
     (length, start_in_a, start_in_b) with the FIRST qualifying start in
     `a` (and the first match of that window in `b`); (0, -1, -1) when no
-    common token exists.
+    common run of >= max(min_len, 1) tokens exists.
     """
     from . import hashing as H
 
     na, nb = a.shape[0], b.shape[0]
     if na == 0 or nb == 0:
         return 0, -1, -1
-    pref_a = H.poly_prefix(H.mix64(a.astype(np.uint64)))
-    pref_b = H.poly_prefix(H.mix64(b.astype(np.uint64)))
+    if pref_a is None:
+        pref_a = lcs_prefix(a)
+    if pref_b is None:
+        pref_b = lcs_prefix(b)
     inv = H.poly_inv_powers(max(na, nb) + 1)
 
     def win(prefix: np.ndarray, m: int, length: int) -> np.ndarray:
@@ -195,13 +224,23 @@ def longest_common_run(a: np.ndarray, b: np.ndarray) -> tuple[int, int, int]:
         return hit
 
     lo, hi = 0, min(na, nb)
+    if match_mask(hi).any():            # containment: run == shorter length
+        lo = hi
+    else:
+        hi -= 1
+        floor = min(max(int(min_len), 1), hi)
+        if floor > 1:
+            if match_mask(floor).any():
+                lo = floor
+            else:
+                return 0, -1, -1
     while lo < hi:
         mid = (lo + hi + 1) >> 1
         if match_mask(mid).any():
             lo = mid
         else:
             hi = mid - 1
-    if lo == 0:
+    if lo == 0 or lo < min_len:
         return 0, -1, -1
     wa = win(pref_a, na, lo)
     wb = win(pref_b, nb, lo)

@@ -74,6 +74,23 @@ class TestSuffix:
             if L:
                 assert np.array_equal(a[pa:pa + L], b[pb:pb + L])
 
+    def test_lcs_min_len_floor_semantics(self):
+        """min_len changes probe count, never the answer: for runs >=
+        min_len the triple is identical to the unfloored search; for runs
+        below it the call must report (0, -1, -1) — exactly the collapse
+        verify_audio_pair applies anyway."""
+        rng = np.random.default_rng(11)
+        for _ in range(300):
+            a = rng.integers(0, 5, rng.integers(0, 100))
+            b = rng.integers(0, 5, rng.integers(0, 100))
+            L, pa, pb = suffix.longest_common_run(a, b)
+            for k in (1, 2, 3, 7, 50):
+                Lk, pak, pbk = suffix.longest_common_run(a, b, min_len=k)
+                if L >= k:
+                    assert (Lk, pak, pbk) == (L, pa, pb)
+                else:
+                    assert (Lk, pak, pbk) == (0, -1, -1)
+
     def test_lcs_vs_bruteforce(self):
         rng = np.random.default_rng(2)
         for _ in range(100):
