@@ -105,14 +105,18 @@ def connected_components(pairs: DataFrame, universe: DataFrame,
     prev_sig = _sig(edges)
     prev = edges
     for _ in range(max_iter):
-        # eager localCheckpoint EVERY round: a round's logical plan
-        # references its parent ~6x (_sym self-unions + min joins), so
-        # without per-round truncation the tree — and Catalyst's plan
-        # canonicalization walk — grows exponentially with iteration
-        # count (measured: the driver burned minutes of single-thread CPU
-        # in doCanonicalize by round ~8 under a persist-only variant).
-        # Eager, not lazy: lazy checkpoints of metric-bearing plans
-        # trigger the driver accumulator-GC race (CLAUDE.md).
+        # ONE star composition per checkpoint round — also measured, do
+        # not "optimize" to two: composing a second (large∘small) step on
+        # the un-materialized first one makes the outer star's ~6 plan
+        # references RECOMPUTE the inner rounds inside the same job
+        # (exchange reuse does not fully dedupe them) — interleaved A/B
+        # on the 568k-edge set ran 2x slower (19.4-30.5 s vs 8.4-25.3 s,
+        # identical label hashes). The eager checkpoint per round is also
+        # what keeps Catalyst's plan-canonicalization walk linear (a
+        # persist-only variant burned minutes of single-thread
+        # doCanonicalize by round ~8). Eager, not lazy: lazy checkpoints
+        # of metric-bearing plans trigger the accumulator-GC race
+        # (CLAUDE.md).
         cur = _small_star(_large_star(prev)).localCheckpoint(eager=True)
         sig = _sig(cur)             # cheap second job: scans the checkpoint
         prev = cur
