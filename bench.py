@@ -311,28 +311,37 @@ def main() -> None:
     # ---- doc-channel N → 4N ladder over the planted hot corpus ------------
     # extends the scaling evidence beyond the audio job: the document
     # MinHash-LSH dedup pipeline (signatures → skew-bounded band join →
-    # union-find) at two parallelism levels on the same 100k-doc input,
-    # pair set asserted identical across levels
+    # union-find) at three parallelism levels on the same 100k-doc input,
+    # pair set asserted identical across levels. 2→8 is the partitioning
+    # measurement (like e2e_scale); 8→32 is retained but hardware-capped
+    # (~35% per-core clock drop above ~8 busy cores caps ANY workload
+    # around 0.6 there, and this job is only ~10-40 s of work at 32).
+    doc_levels = (2, 8, 32)
     per, samples = {}, {}
-    for cpus in (8, 32):
+    for cpus in doc_levels:
         print(f"bench: scaling docdedup at local[{cpus}] ...",
               file=sys.stderr)
         r = _run_level(cpus, "docdedup", hot_path)
         per[cpus], samples[cpus] = r["wall_s"], r
         queries_s[f"docdedup_local{cpus}"] = round(r["wall_s"], 2)
-    assert samples[8]["pairs"] == samples[32]["pairs"] == int(n_hot_pairs)
-    assert samples[8]["pairs_hash"] == samples[32]["pairs_hash"], samples
-    d = {"levels": [8, 32], "n_clips": hot_n,
-         "pairs": samples[32]["pairs"], "pairs_hash_match": True}
-    for cpus in (8, 32):
+    for cpus in doc_levels:
+        assert samples[cpus]["pairs"] == int(n_hot_pairs)
+        assert samples[cpus]["pairs_hash"] == samples[8]["pairs_hash"]
+    d = {"levels": list(doc_levels), "n_clips": hot_n,
+         "pairs": samples[8]["pairs"], "pairs_hash_match": True}
+    for cpus in doc_levels:
         d[f"wall_s_local{cpus}"] = round(per[cpus], 2)
         d[f"clips_per_sec_local{cpus}"] = round(hot_n / per[cpus], 1)
-    d["scaling_efficiency_8to32"] = round((per[8] / per[32]) / 4, 3)
+    for lo, hi in zip(doc_levels, doc_levels[1:]):
+        d[f"scaling_efficiency_{lo}to{hi}"] = round(
+            (per[lo] / per[hi]) / (hi / lo), 3)
     _history_append("docdedup", per)
     best = _history_min("docdedup", per)
-    for cpus in (8, 32):
+    for cpus in doc_levels:
         d[f"best_wall_s_local{cpus}"] = round(best[cpus], 2)
-    d["capability_efficiency_8to32"] = round((best[8] / best[32]) / 4, 3)
+    for lo, hi in zip(doc_levels, doc_levels[1:]):
+        d[f"capability_efficiency_{lo}to{hi}"] = round(
+            (best[lo] / best[hi]) / (hi / lo), 3)
     scale["docdedup"] = d
 
     # ---- scale-tier N → 4N ladder: the north-rule scaling number ----------
