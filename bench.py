@@ -129,18 +129,23 @@ def worker(cpus: int, what: str, path: str, out: str) -> None:
         from pyspark.sql import functions as F
         from cdstore_spark.engine.scope import cache_scope
         from cdstore_spark.functions import textops as X
+        stages = {}
         docs = spark.read.parquet(path)
+        t1 = time.time()
         with cache_scope():
             pairs = X.minhash_lsh_pairs(docs).persist()
             n_pairs = pairs.count()
+        stages["pairs"] = round(time.time() - t1, 2)
+        t1 = time.time()
         clus = S_clust.connected_components(
             pairs.select("a", "b"),
             docs.select(F.col("doc_id").alias("clip_id")))
         n_rows = clus.count()
+        stages["cluster"] = round(time.time() - t1, 2)
         h = pairs.agg(F.expr("bit_xor(xxhash64(a, b))").alias("h")
                       ).collect()[0]["h"]
         res = {"wall_s": time.time() - t0, "rows": n_rows,
-               "pairs": n_pairs, "pairs_hash": str(h)}
+               "pairs": n_pairs, "pairs_hash": str(h), "stages": stages}
     else:
         raise SystemExit(f"unknown worker task {what}")
     spark.stop()
@@ -308,41 +313,50 @@ def main() -> None:
             d[f"capability_efficiency_{lo}to{hi}"] = round(eff, 3)
         scale[what] = d
 
-    # ---- doc-channel N → 4N ladder over the planted hot corpus ------------
+    # ---- doc-channel N → 4N ladder (16x corpus, like e2e_scale) -----------
     # extends the scaling evidence beyond the audio job: the document
     # MinHash-LSH dedup pipeline (signatures → skew-bounded band join →
-    # union-find) at three parallelism levels on the same 100k-doc input,
-    # pair set asserted identical across levels. 2→8 is the partitioning
-    # measurement (like e2e_scale); 8→32 is retained but hardware-capped
-    # (~35% per-core clock drop above ~8 busy cores caps ANY workload
-    # around 0.6 there, and this job is only ~10-40 s of work at 32).
-    doc_levels = (2, 8, 32)
+    # union-find) on a 1.6M-doc hot corpus. The doc job is light while
+    # its ~20-stage DAG carries ~20 s of data-size-INDEPENDENT latency
+    # (AQE query-stage scheduling, CC rounds — fitted from interleaved
+    # T2=4P+C / T8=P+C stage walls at a 400k-doc probe), so a small
+    # corpus compresses the measured 2→8 efficiency regardless of
+    # partitioning — the same artifact the audio scale tier exists for,
+    # cured the same way: at 16x the base corpus the 8-core wall is
+    # ~100 s (measured round 4, post gram-pruning) and the fixed cost
+    # sits near 20% of it. Pair count AND order-insensitive pair hash
+    # are asserted identical across levels; the planted 5k-member group
+    # is the only duplicate mass, so the capped pair count equals the
+    # 100k gate's (629,359) at every corpus size.
+    doc_levels = (2, 8)
+    doc_n = 16 * hot_n
+    doc_path = ensure_hot_docs(doc_n, hot_m)
     per, samples = {}, {}
     for cpus in doc_levels:
-        print(f"bench: scaling docdedup at local[{cpus}] ...",
-              file=sys.stderr)
-        r = _run_level(cpus, "docdedup", hot_path)
+        print(f"bench: scaling docdedup ({doc_n} docs) at "
+              f"local[{cpus}] ...", file=sys.stderr)
+        r = _run_level(cpus, "docdedup", doc_path)
         per[cpus], samples[cpus] = r["wall_s"], r
-        queries_s[f"docdedup_local{cpus}"] = round(r["wall_s"], 2)
+        queries_s[f"docdedup_scale_local{cpus}"] = round(r["wall_s"], 2)
     for cpus in doc_levels:
         assert samples[cpus]["pairs"] == int(n_hot_pairs)
         assert samples[cpus]["pairs_hash"] == samples[8]["pairs_hash"]
-    d = {"levels": list(doc_levels), "n_clips": hot_n,
+    d = {"levels": list(doc_levels), "n_docs": doc_n,
          "pairs": samples[8]["pairs"], "pairs_hash_match": True}
     for cpus in doc_levels:
         d[f"wall_s_local{cpus}"] = round(per[cpus], 2)
-        d[f"clips_per_sec_local{cpus}"] = round(hot_n / per[cpus], 1)
+        d[f"docs_per_sec_local{cpus}"] = round(doc_n / per[cpus], 1)
     for lo, hi in zip(doc_levels, doc_levels[1:]):
         d[f"scaling_efficiency_{lo}to{hi}"] = round(
             (per[lo] / per[hi]) / (hi / lo), 3)
-    _history_append("docdedup", per)
-    best = _history_min("docdedup", per)
+    _history_append("docdedup_scale", per)
+    best = _history_min("docdedup_scale", per)
     for cpus in doc_levels:
         d[f"best_wall_s_local{cpus}"] = round(best[cpus], 2)
     for lo, hi in zip(doc_levels, doc_levels[1:]):
         d[f"capability_efficiency_{lo}to{hi}"] = round(
             (best[lo] / best[hi]) / (hi / lo), 3)
-    scale["docdedup"] = d
+    scale["docdedup_scale"] = d
 
     # ---- scale-tier N → 4N ladder: the north-rule scaling number ----------
     # The 100k tier carries ~40 s of data-size-INDEPENDENT driver latency
@@ -433,22 +447,23 @@ def _write_bench_md(r: dict) -> None:
     ]
     for what, d in s.items():
         levels = d["levels"]
+        unit = "docs" if "n_docs" in d else "clips"
+        n_rows = d.get("n_docs", d.get("n_clips", r["n_clips"]))
         lines += [
             "",
             "| job | " + " | ".join(f"wall local[{c}]" for c in levels)
-            + " | " + " | ".join(f"clips/s local[{c}]" for c in levels)
+            + " | " + " | ".join(f"{unit}/s local[{c}]" for c in levels)
             + " | " + " | ".join(f"eff {lo}→{hi}" for lo, hi in
                                  zip(levels, levels[1:])) + " |",
             "| --- |" + " --- |" * (2 * len(levels) + len(levels) - 1),
         ]
         cells = [f"{d[f'wall_s_local{c}']}s" for c in levels]
-        cells += [str(d[f"clips_per_sec_local{c}"]) for c in levels]
+        cells += [str(d[f"{unit}_per_sec_local{c}"]) for c in levels]
         cells += [f"**{d[f'scaling_efficiency_{lo}to{hi}']}**"
                   for lo, hi in zip(levels, levels[1:])]
         lines.append(f"| {what} (this run) | " + " | ".join(cells) + " |")
         cells = [f"{d[f'best_wall_s_local{c}']}s" for c in levels]
-        cells += [str(round(d.get("n_clips", r["n_clips"])
-                            / d[f"best_wall_s_local{c}"], 1))
+        cells += [str(round(n_rows / d[f"best_wall_s_local{c}"], 1))
                   for c in levels]
         cells += [f"**{d[f'capability_efficiency_{lo}to{hi}']}**"
                   for lo, hi in zip(levels, levels[1:])]
@@ -503,10 +518,17 @@ def _write_bench_md(r: dict) -> None:
         "slower than AQE's runtime broadcast conversions "
         "(cluster.py documents the numbers).",
         "",
-        "`docdedup` in the scaling tables is the document-channel ladder "
-        "(MinHash → skew-bounded LSH band join → union-find over the "
-        "planted hot corpus), pair set asserted identical across levels — "
-        "the N→4N evidence beyond the audio job.",
+        "`docdedup_scale` in the scaling tables is the document-channel "
+        "ladder (MinHash → skew-bounded LSH band join → union-find), run "
+        "at its own scale tier — a 1.6M-doc corpus with the planted "
+        "5k-member hot group — for the same reason the audio job has "
+        "`e2e_scale`: the job's ~20-stage DAG carries ~20 s of "
+        "data-size-independent latency (AQE query-stage scheduling, CC "
+        "rounds; fitted from interleaved T2=4P+C / T8=P+C stage walls "
+        "on a 400k-doc probe) that compresses any small-corpus ladder "
+        "regardless of partitioning. Pair count AND order-insensitive "
+        "pair hash are asserted identical across levels — the N→4N "
+        "evidence beyond the audio job.",
         "",
         "`doc_dedup_clusters` in the per-query table is the document-"
         "channel dedup end-to-end (MinHash signatures → skew-bounded LSH "

@@ -261,18 +261,29 @@ def minhash_lsh_pairs(df: DataFrame, cfg: PipelineConfig = DEFAULT,
     decision (doc_dedup_clusters) is unaffected while the PAIR list is
     the documented linear skew-bounded subset."""
     from ..engine.bucket_pairs import capped_bucket_pairs
+    from ..engine.scope import scoped_persist
     sigs = doc_signatures(df, cfg)
     bands = sigs.select("doc_id",
                         F.posexplode("bands").alias("band_idx", "bh"))
-    cand = (capped_bucket_pairs(bands, ["band_idx", "bh"], "doc_id",
-                                cap=cfg.bucket_cap, soft=cfg.bucket_soft)
-            .select("a", "b")
-            .distinct())
+    cand = scoped_persist(
+        capped_bucket_pairs(bands, ["band_idx", "bh"], "doc_id",
+                            cap=cfg.bucket_cap, soft=cfg.bucket_soft)
+        .select("a", "b")
+        .distinct())
     # exact Jaccard ONLY on the band-collision survivors (round 1 computed
-    # the full exact join and semi-joined after — LSH was pure overhead)
-    from ..engine.scope import scoped_persist
-    return _pair_jaccard(cand, scoped_persist(_gram_hashed(df)),
-                         threshold)
+    # the full exact join and semi-joined after — LSH was pure overhead),
+    # and gram ONLY the docs those survivors name: tokenizing + gram-dedup
+    # shuffling the WHOLE corpus was ~45% of the doc-dedup wall at the
+    # 1.6M-doc scale tier (626 MB gram-distinct shuffle + a 634 MB re-
+    # shuffle into the verify joins, per-stage REST metrics, round 4) for
+    # a verification that reads ~0.3% of the docs. Output is identical:
+    # _pair_jaccard only ever looks up docs present in cand. The exact
+    # jaccard_pairs path is untouched — its prefix filter NEEDS the
+    # global gram document frequencies.
+    ids = cand.select(F.explode(F.array("a", "b")).alias("doc_id")
+                      ).distinct()
+    g = _gram_hashed(df.join(ids, "doc_id", "left_semi"))
+    return _pair_jaccard(cand, scoped_persist(g), threshold)
 
 
 def simhash_hamming_pairs(df: DataFrame, cfg: PipelineConfig = DEFAULT,
