@@ -52,8 +52,24 @@ def _spark(cpus: int):
         "spark.cleaner.referenceTracking": "false",
     })
     s.sparkContext.setLogLevel("ERROR")
-    # warm JIT + python workers so timings measure throughput, not startup
+    # warm JIT + python workers so timings measure throughput, not startup.
+    # The mapInPandas pass matters: sum(id) alone is JVM-only, so the
+    # Python worker daemon fork + numpy/pandas import in every worker slot
+    # (32 concurrent cold imports contend on disk) would otherwise be paid
+    # inside the first timed mapInPandas stage. Workers are reused for the
+    # session (spark.python.worker.reuse default), so one tiny pass with
+    # one partition per core leaves them resident and import-warm.
     s.range(10000).selectExpr("sum(id)").collect()
+
+    def _warm(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        from cdstore_spark.kernels import (clipfeat, codec, features,  # noqa: F401
+                                           sketch, suffix, text)
+        yield from batches
+
+    (s.range(cpus * 4).repartition(cpus)
+     .mapInPandas(_warm, "id long").count())
     return s
 
 
