@@ -217,7 +217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf)
         pairs = X.minhash_lsh_pairs(docs).select("a", "b")
         clus = connected_components(
-            pairs, docs.select(F.col("doc_id").alias("clip_id")))
+            pairs, docs.select(F.col("doc_id").alias("clip_id")),
+            edges_distinct=True)
         return clus.select(F.col("clip_id").alias("doc_id"),
                            F.col("cluster_id").alias("canonical_doc_id"))
     q["doc_dedup_clusters"] = doc_dedup_clusters

@@ -124,7 +124,8 @@ def worker(cpus: int, what: str, path: str, out: str) -> None:
         t1 = time.time()
         clips = spark.read.parquet(path)
         clus = S_clust.connected_components(conf.select("a", "b"),
-                                            clips.select("clip_id"))
+                                            clips.select("clip_id"),
+                                            edges_distinct=True)
         n_clus = clus.count()
         stages["cluster"] = round(time.time() - t1, 2)
         # order-insensitive value hash of the confirmed set: lets the
@@ -155,7 +156,8 @@ def worker(cpus: int, what: str, path: str, out: str) -> None:
         t1 = time.time()
         clus = S_clust.connected_components(
             pairs.select("a", "b"),
-            docs.select(F.col("doc_id").alias("clip_id")))
+            docs.select(F.col("doc_id").alias("clip_id")),
+            edges_distinct=True)
         n_rows = clus.count()
         stages["cluster"] = round(time.time() - t1, 2)
         h = pairs.agg(F.expr("bit_xor(xxhash64(a, b))").alias("h")
@@ -277,7 +279,8 @@ def main() -> None:
     n_hot_pairs = hot_pairs.count()
     clus = connected_components(
         hot_pairs.select("a", "b"),
-        docs.select(SF.col("doc_id").alias("clip_id")))
+        docs.select(SF.col("doc_id").alias("clip_id")),
+        edges_distinct=True)
     big = (clus.groupBy("cluster_id").count()
            .where("count > 1").collect())
     queries_s["docdedup_hot100k"] = round(time.time() - t0, 2)
@@ -375,7 +378,7 @@ def main() -> None:
     scale["docdedup_scale"] = d
 
     # ---- scale-tier N → 4N ladder: the north-rule scaling number ----------
-    # The 100k tier carries ~40 s of data-size-INDEPENDENT driver latency
+    # The 100k tier carries ~30 s of data-size-INDEPENDENT driver latency
     # (CC fixpoint barriers, AQE stage scheduling, broadcast builds —
     # BENCH.md decomposes it stage by stage), which compresses its e2e
     # efficiency no matter how well the dataflow partitions. The honest
@@ -497,14 +500,16 @@ def _write_bench_md(r: dict) -> None:
         "## Why the N→4N number is measured at the scale tier",
         "",
         "The 100k-clip e2e job carries a data-size-INDEPENDENT serial "
-        "cost of ~40 s, measured stage by stage this round (local[2] vs "
+        "cost of ~30 s, measured stage by stage in round 4 (local[2] vs "
         "local[8] walls, solving T2 = 4P + C, T8 = P + C per stage): "
         "featurize C≈8 s (scan setup + the 2-vs-8-busy-core clock gap), "
         "candidates C≈10 s (AQE query-stage scheduling across the "
         "band-join DAG), verify C≈10 s (broadcast builds + 36-stage "
-        "scheduling), connected-components C≈11 s (fixpoint rounds are "
-        "driver-barrier bound at 568k edges: the per-round shuffles are "
-        "sub-second, the barriers are not). Those costs do not grow with "
+        "scheduling), connected-components C≈4 s (one distributed star "
+        "round contracts 568k edges to 8.7k, then the size-gated local "
+        "finish replaces the remaining driver-barrier rounds — before "
+        "that finish, the fixpoint tail alone was C≈11 s). Those costs "
+        "do not grow with "
         "data, so at 100k clips they compress ANY partitioning's "
         "measured 2→8 efficiency to ≈(4P+C)/(4(P+C)) ≈ 0.55-0.7 — while "
         "the same plan at 4x the rows (`e2e_scale`, 400k clips, same "

@@ -78,12 +78,20 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(pairs: DataFrame, universe: DataFrame,
-                         max_iter: int = 24) -> DataFrame:
+                         max_iter: int = 24,
+                         edges_distinct: bool = False) -> DataFrame:
     """pairs(a, b) edges + universe(clip_id) → (clip_id, cluster_id).
 
     cluster_id is the lexicographic minimum clip_id of the component —
     identical to the oracle union-find convention. Singleton clips map to
     themselves.
+
+    `edges_distinct=True` lets a caller that guarantees unique (a, b)
+    rows (confirmed pairs are — the candidate enumerator dedups) skip the
+    initial distinct, turning the seed checkpoint from a full edge-set
+    shuffle into a narrow map-only materialization. Duplicate edges are
+    harmless either way (each star round dedups its own output); the flag
+    only removes a provably redundant shuffle.
     """
     def _sig(df: DataFrame) -> tuple:
         # convergence signature: count + order-independent xxhash64 fold,
@@ -111,9 +119,10 @@ def connected_components(pairs: DataFrame, universe: DataFrame,
     # silently recomputed the whole verify stage without its released
     # side-table caches (~35x the checkpoint cost at the bench tier).
     edges = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
-             .where(F.col("u") != F.col("v"))
-             .distinct()
-             .localCheckpoint(eager=True))
+             .where(F.col("u") != F.col("v")))
+    if not edges_distinct:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint(eager=True)
 
     # convergence = output edge set equals the INPUT's (fixpoint of
     # large_star∘small_star); seeding prev_sig with the initial edges'

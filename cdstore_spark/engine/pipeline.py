@@ -100,7 +100,8 @@ def run_pipeline(spark: SparkSession, clips_path: str, workdir: str,
     clusters = ck_clust.run(
         spark,
         lambda _i: S_clust.connected_components(
-            confirmed.select("a", "b"), clips.select("clip_id")),
+            confirmed.select("a", "b"), clips.select("clip_id"),
+            edges_distinct=True),
         hash_cols_for_lineage=["clip_id", "cluster_id"])
 
     lineage = {ck.stage: ck.lineage()
@@ -125,6 +126,7 @@ def run_pipeline_inline(spark: SparkSession, clips: DataFrame,
     cand, skew = S_cand.candidate_pairs(feats, cfg)
     confirmed = S_verify.verify_candidates(cand, feats, cfg)
     clusters = S_clust.connected_components(
-        confirmed.select("a", "b"), clips.select("clip_id"))
+        confirmed.select("a", "b"), clips.select("clip_id"),
+        edges_distinct=True)
     return {"feats": feats, "candidates": cand, "confirmed": confirmed,
             "clusters": clusters, "skew_stats": skew}
