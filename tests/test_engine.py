@@ -216,3 +216,32 @@ class TestConnectedComponents:
         uni = spark.createDataFrame([(i,) for i in ids], ["clip_id"])
         got = S_clust.connected_components(pairs, uni).collect()
         assert all(r["cluster_id"] == "c000" for r in got)
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_distributed_path_matches_local_finish(self, spark, seed,
+                                                   monkeypatch):
+        # sub-gate graphs take the driver-side finish by default, so the
+        # star rounds must be pinned open (gate=0) to stay covered; both
+        # paths and the edges_distinct fast seed must agree with the
+        # oracle union-find on the same graph
+        rng = np.random.default_rng(100 + seed)
+        n = 150
+        ids = [f"n{i:04d}" for i in range(n)]
+        edges = {(ids[rng.integers(0, n)], ids[rng.integers(0, n)])
+                 for _ in range(130)}
+        edges = [(a, b) for a, b in edges if a != b]
+        exp = unionfind.components(edges, ids)
+        pairs = spark.createDataFrame(edges, ["a", "b"])
+        uni = spark.createDataFrame([(i,) for i in ids], ["clip_id"])
+
+        monkeypatch.setattr(S_clust, "_LOCAL_FINISH_MAX_EDGES", 0)
+        dist = {r["clip_id"]: r["cluster_id"]
+                for r in S_clust.connected_components(
+                    pairs, uni, edges_distinct=True).collect()}
+        assert dist == exp
+
+        monkeypatch.setattr(S_clust, "_LOCAL_FINISH_MAX_EDGES", 1 << 18)
+        loc = {r["clip_id"]: r["cluster_id"]
+               for r in S_clust.connected_components(
+                   pairs, uni, edges_distinct=True).collect()}
+        assert loc == exp
