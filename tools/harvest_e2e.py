@@ -8,7 +8,12 @@ the capability record is reclaimed by sampling until the host offers a
 quiet window, exactly like rounds 2-3. Stops early once a sample beats
 the target.
 
-Usage: python tools/harvest_e2e.py [iters] [target_s]
+Ambient interference is visible in THIS VM's 1-min loadavg even with no
+local process running (measured round 4: load 4-16 while idle), so each
+sample is gated on a quiet loadavg reading instead of burning a 32-core
+measurement into a window that cannot produce a record.
+
+Usage: python tools/harvest_e2e.py [iters] [target_s] [max_load]
 """
 import json
 import os
@@ -22,8 +27,27 @@ HIST = os.path.join(REPO, "bench_history.jsonl")
 
 iters = int(sys.argv[1]) if len(sys.argv) > 1 else 12
 target = float(sys.argv[2]) if len(sys.argv) > 2 else 50.0
+max_load = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
+
+#: how long to wait for a quiet window before sampling anyway — an
+#: unconditional fallback keeps the harvest productive if the host never
+#: goes fully quiet (minima only ever tighten; a loud sample is wasted
+#: CPU, not a wrong record)
+QUIET_WAIT_MAX_S = 900.0
+
+
+def wait_quiet(budget_s: float) -> float:
+    t0 = time.time()
+    while time.time() - t0 < budget_s:
+        load1 = os.getloadavg()[0]
+        if load1 <= max_load:
+            return load1
+        time.sleep(30)
+    return os.getloadavg()[0]
+
 
 for i in range(iters):
+    load1 = wait_quiet(QUIET_WAIT_MAX_S)
     out = "/tmp/harvest_e2e_32.json"
     t0 = time.time()
     r = subprocess.run(
@@ -40,9 +64,11 @@ for i in range(iters):
     with open(HIST, "a") as f:
         f.write(json.dumps({"job": "e2e",
                             "wall_s": {"32": round(w, 2)}}) + "\n")
-    print(f"[{i}] e2e@32 {w:.2f}s stages={res.get('stages')} "
-          f"(total {time.time() - t0:.0f}s)", flush=True)
+    print(f"[{i}] e2e@32 {w:.2f}s load1={load1:.1f} "
+          f"stages={res.get('stages')} (total {time.time() - t0:.0f}s)",
+          flush=True)
     if w < target:
         print(f"target {target}s beaten: {w:.2f}s", flush=True)
         break
-    time.sleep(20)
+    # let the 1-min loadavg decay past our own run before re-reading it
+    time.sleep(90)
