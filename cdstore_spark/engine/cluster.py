@@ -25,8 +25,23 @@ at component minima; cluster_id = min(clip_id) in component falls out.
 
 from __future__ import annotations
 
+import os
+import sys
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: SPARK_GRAFT_CC_DEBUG=1 prints per-phase walls to stderr — measurement
+#: aid only, no behavior change
+_DEBUG = os.environ.get("SPARK_GRAFT_CC_DEBUG", "0") == "1"
+
+
+def _dbg(label: str, t0: float) -> float:
+    t = time.time()
+    if _DEBUG:
+        print(f"cc: {label} {t - t0:.2f}s", file=sys.stderr, flush=True)
+    return t
 
 #: adaptive local-finish gate: once a round's output edge set is at most
 #: this many edges (~13 MB collected at ~50 B/edge), the remaining
@@ -41,6 +56,16 @@ from pyspark.sql import functions as F
 #: ~10 driver-scheduled query stages per round) change nothing but
 #: labels — the local finish replaces them with a ~0.3 MB collect.
 _LOCAL_FINISH_MAX_EDGES = 1 << 18
+
+#: when the CURRENT edge set is within this factor of the local-finish
+#: gate, the round materializes its large_star half separately and checks
+#: the gate on it — dedup graphs are near-clique-heavy, so large_star
+#: alone usually contracts below the gate and the small_star half of the
+#: last distributed round (3 of its ~6 shuffle stages) is skipped
+#: entirely. Outside this regime rounds keep the measured-faster single
+#: checkpoint per composed round (see the loop comment), so the at-scale
+#: path is unchanged.
+_HALF_ROUND_PROBE_FACTOR = 16
 
 
 def _sym(edges: DataFrame) -> DataFrame:
@@ -91,7 +116,12 @@ def connected_components(pairs: DataFrame, universe: DataFrame,
     initial distinct, turning the seed checkpoint from a full edge-set
     shuffle into a narrow map-only materialization. Duplicate edges are
     harmless either way (each star round dedups its own output); the flag
-    only removes a provably redundant shuffle.
+    only removes a provably redundant shuffle. The seed checkpoint itself
+    is NOT skippable even over a caller-persisted `pairs`: reading the
+    cache through the select-on-cache subtree missed for every one of
+    round 0's plan branches (measured round 4: seed sig 0.33→2.78 s,
+    large_star half 3.6→20.7 s) — the ~3 s checkpoint is what makes every
+    downstream reference a cheap shallow scan.
     """
     def _sig(df: DataFrame) -> tuple:
         # convergence signature: count + order-independent xxhash64 fold,
@@ -118,22 +148,26 @@ def connected_components(pairs: DataFrame, universe: DataFrame,
     # cached plan vs the round's canonicalized subtree) — the round then
     # silently recomputed the whole verify stage without its released
     # side-table caches (~35x the checkpoint cost at the bench tier).
+    t0 = time.time()
     edges = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
              .where(F.col("u") != F.col("v")))
     if not edges_distinct:
         edges = edges.distinct()
     edges = edges.localCheckpoint(eager=True)
+    t0 = _dbg("seed checkpoint", t0)
 
     # convergence = output edge set equals the INPUT's (fixpoint of
     # large_star∘small_star); seeding prev_sig with the initial edges'
     # signature detects it on the first stable iteration instead of
     # paying one extra full round to see two identical outputs
     prev_sig = _sig(edges)
+    t0 = _dbg("seed sig", t0)
     prev = edges
     labels = None
     for _ in range(max_iter):
         if prev_sig[0] <= _LOCAL_FINISH_MAX_EDGES:
             labels = _local_finish(prev)
+            t0 = _dbg("local finish", t0)
             break
         # ONE star composition per checkpoint round — also measured, do
         # not "optimize" to two: composing a second (large∘small) step on
@@ -147,7 +181,28 @@ def connected_components(pairs: DataFrame, universe: DataFrame,
         # doCanonicalize by round ~8). Eager, not lazy: lazy checkpoints
         # of metric-bearing plans trigger the accumulator-GC race
         # (CLAUDE.md).
-        cur = _small_star(_large_star(prev)).localCheckpoint(eager=True)
+        #
+        # EXCEPT near the gate: large_star alone preserves connectivity
+        # and keeps every non-singleton node in the edge set (each node
+        # either points a larger neighbor at its neighborhood min, is
+        # pointed at one, or IS a neighborhood min and appears as the
+        # target), so union-find over its output is already exact — and
+        # on near-clique dedup graphs it contracts most of the way on its
+        # own. Within PROBE_FACTOR of the gate the round checkpoints the
+        # half separately: if it landed under the gate, the small_star
+        # half never runs; if not, the only cost is one extra (cheap,
+        # sub-4M-edge) checkpoint for that round.
+        if prev_sig[0] <= _LOCAL_FINISH_MAX_EDGES * _HALF_ROUND_PROBE_FACTOR:
+            half = _large_star(prev).localCheckpoint(eager=True)
+            t0 = _dbg("large_star half", t0)
+            if half.count() <= _LOCAL_FINISH_MAX_EDGES:
+                labels = _local_finish(half)
+                t0 = _dbg("local finish (half)", t0)
+                break
+            cur = _small_star(half).localCheckpoint(eager=True)
+        else:
+            cur = _small_star(_large_star(prev)).localCheckpoint(eager=True)
+        t0 = _dbg("star round", t0)
         sig = _sig(cur)             # cheap second job: scans the checkpoint
         prev = cur
         if sig == prev_sig:

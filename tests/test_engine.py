@@ -245,3 +245,32 @@ class TestConnectedComponents:
                for r in S_clust.connected_components(
                    pairs, uni, edges_distinct=True).collect()}
         assert loc == exp
+
+    def test_half_round_exit_on_cliques(self, spark, monkeypatch):
+        # near-clique graphs contract below the gate after large_star
+        # ALONE: gate 64 < the 570 seed edges, but the large_star half
+        # (~19 edges per 20-clique) fires the early exit before small_star
+        ids = [f"k{i:03d}" for i in range(60)]
+        edges = [(ids[g * 20 + i], ids[g * 20 + j])
+                 for g in range(3)
+                 for i in range(20) for j in range(i + 1, 20)]
+        exp = unionfind.components(edges, ids)
+        pairs = spark.createDataFrame(edges, ["a", "b"])
+        uni = spark.createDataFrame([(i,) for i in ids], ["clip_id"])
+        monkeypatch.setattr(S_clust, "_LOCAL_FINISH_MAX_EDGES", 64)
+        got = {r["clip_id"]: r["cluster_id"]
+               for r in S_clust.connected_components(
+                   pairs, uni, edges_distinct=True).collect()}
+        assert got == exp
+
+    def test_half_round_probe_without_exit(self, spark, monkeypatch):
+        # a path graph contracts slowly: the half probe runs (63 edges is
+        # within 16x of gate 4) but does NOT land under the gate, so the
+        # loop must continue through small_star rounds to convergence
+        ids = [f"p{i:03d}" for i in range(64)]
+        edges = list(zip(ids[:-1], ids[1:]))
+        pairs = spark.createDataFrame(edges, ["a", "b"])
+        uni = spark.createDataFrame([(i,) for i in ids], ["clip_id"])
+        monkeypatch.setattr(S_clust, "_LOCAL_FINISH_MAX_EDGES", 4)
+        got = S_clust.connected_components(pairs, uni).collect()
+        assert all(r["cluster_id"] == "p000" for r in got)
