@@ -87,9 +87,10 @@ _SLIM_ROW_BYTES = 128
 _MEMO_MAX_BYTES = 64 * 1024 * 1024
 
 
-def _audio_kernel(cfg: PipelineConfig):
-    """Batched audio verification. Two gates are vectorized across the
-    whole Arrow batch before any per-pair kernel dispatch:
+class _AudioPairState:
+    """Per-partition audio verification state, shared by the channel
+    kernel (content-dedup path) and the fused per-pair kernel so both run
+    IDENTICAL arithmetic:
 
       * length gate — event counts read straight from the 4-byte pack
         header (no unpack, no memo traffic) for every row at once;
@@ -99,40 +100,98 @@ def _audio_kernel(cfg: PipelineConfig):
         is the whole sequence and the ZCR gap is exactly 0 <= tol. The
         float32 pairwise sum matches the kernel's ms_a[0:n].sum()
         bit-for-bit; the per-content span is memoized so an n-member
-        exact-duplicate group costs n sums, not n^2 kernel calls.
+        exact-duplicate group costs n sums, not n^2 kernel calls;
+      * result memo — oriented (vk_a, vk_b) -> (ok, span): on the fused
+        per-pair path the same content pair recurs across rows of a
+        partition, and the kernels are pure functions of content (entries
+        are ~200 B, bounded by count). On the dedup path keys are already
+        distinct per partition, so it costs one dict probe per row.
 
-    Only the surviving unequal pairs reach the suffix-array kernel loop.
+    Only surviving unequal unseen pairs reach the suffix-array kernel.
     """
-    min_ev, min_ms = cfg.verify_min_events, cfg.verify_min_audio_ms
-    assert cfg.verify_zcr_log2_tol >= 0.0
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def __init__(self, cfg: PipelineConfig):
         import numpy as np
 
         from ..kernels.clipfeat import unpack_events, verify_audio_pair
         from ..kernels.suffix import lcs_prefix
-        unp: dict = {}
-        used = [0]
+        self._np = np
+        self._unpack_events = unpack_events
+        self._verify_audio_pair = verify_audio_pair
+        self._lcs_prefix = lcs_prefix
+        self.cfg = cfg
+        self.min_ev = cfg.verify_min_events
+        self.min_ms = cfg.verify_min_audio_ms
+        assert cfg.verify_zcr_log2_tol >= 0.0
+        self.unp: dict = {}
+        self.used = 0
+        self.spans: dict = {}   # vk -> full-stream float32 ms sum
+        self.res: dict = {}     # (vk_a, vk_b) -> (ok, span)
 
-        def get(k, buf):
-            r = unp.get(k)
+    def get(self, k, buf):
+        r = self.unp.get(k)
+        if r is None:
+            if self.used > _MEMO_MAX_BYTES:
+                self.unp.clear()
+                self.used = 0
+            ev, ms, zc = self._unpack_events(buf)
+            # prefix hashes memoized WITH the content: the O(n) LCS
+            # preprocessing runs once per distinct content, not per
+            # pair (bit-identical — lcs_prefix is what the kernel
+            # computes itself when not supplied)
+            r = self.unp[k] = (ev, ms, zc,
+                               self._lcs_prefix(ev.astype(self._np.int64)))
+            # frombuffer views pin buf; account the packed source size
+            # + the 8 B/event prefix array
+            self.used += len(buf) + 8 * (ev.shape[0] + 1) + 64
+        return r
+
+    def run(self, vka, vkb, va, vb, idx, ok, span):
+        """Verify rows `idx` of the batch arrays in place: ok[i]/span[i]
+        for each i in idx, with all three memo layers applied."""
+        np = self._np
+        m = len(vka)
+        na = np.fromiter((int.from_bytes(b[:4], "little") for b in va),
+                         dtype=np.int64, count=m)
+        nb = np.fromiter((int.from_bytes(b[:4], "little") for b in vb),
+                         dtype=np.int64, count=m)
+        sel = np.zeros(m, dtype=bool)
+        sel[idx] = True
+        alive = sel & (na >= self.min_ev) & (nb >= self.min_ev)
+        eq = alive & (vka == vkb)
+        for i in np.flatnonzero(eq):
+            k = vka[i]
+            s = self.spans.get(k)
+            if s is None:
+                if len(self.spans) > 1 << 20:
+                    self.spans.clear()
+                n = int(na[i])
+                s = self.spans[k] = float(np.frombuffer(
+                    va[i], dtype="<f4", count=n, offset=4 + 4 * n).sum())
+            span[i] = s
+            ok[i] = s >= self.min_ms
+        for i in np.flatnonzero(alive & ~eq):
+            key = (vka[i], vkb[i])
+            r = self.res.get(key)
             if r is None:
-                if used[0] > _MEMO_MAX_BYTES:
-                    unp.clear()
-                    used[0] = 0
-                ev, ms, zc = unpack_events(buf)
-                # prefix hashes memoized WITH the content: the O(n) LCS
-                # preprocessing runs once per distinct content, not per
-                # pair (bit-identical — lcs_prefix is what the kernel
-                # computes itself when not supplied)
-                r = unp[k] = (ev, ms, zc,
-                              lcs_prefix(ev.astype(np.int64)))
-                # frombuffer views pin buf; account the packed source size
-                # + the 8 B/event prefix array
-                used[0] += len(buf) + 8 * (ev.shape[0] + 1) + 64
-            return r
+                if len(self.res) > 1 << 21:
+                    self.res.clear()
+                ev_a, ms_a, zc_a, pref_a = self.get(vka[i], va[i])
+                ev_b, _, zc_b, pref_b = self.get(vkb[i], vb[i])
+                r = self.res[key] = self._verify_audio_pair(
+                    ev_a, ms_a, zc_a, ev_b, zc_b, self.cfg,
+                    pref_a=pref_a, pref_b=pref_b)
+            ok[i], span[i] = r
 
-        spans: dict = {}    # vk -> full-stream float32 ms sum
+
+def _audio_kernel(cfg: PipelineConfig):
+    """Batched audio verification over distinct oriented content pairs —
+    the vectorized gates + memo machinery live in _AudioPairState (shared
+    with the fused per-pair kernel)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        st = _AudioPairState(cfg)
         for pdf in batches:
             m = len(pdf)
             if m == 0:
@@ -141,65 +200,71 @@ def _audio_kernel(cfg: PipelineConfig):
             vkb = pdf["vk_b"].to_numpy()
             va = pdf["vpack_a"].to_numpy()
             vb = pdf["vpack_b"].to_numpy()
-            na = np.fromiter((int.from_bytes(b[:4], "little") for b in va),
-                             dtype=np.int64, count=m)
-            nb = np.fromiter((int.from_bytes(b[:4], "little") for b in vb),
-                             dtype=np.int64, count=m)
             ok = np.zeros(m, dtype=bool)
             span = np.zeros(m, dtype=np.float64)
-            alive = (na >= min_ev) & (nb >= min_ev)
-            eq = alive & (vka == vkb)
-            for i in np.flatnonzero(eq):
-                k = vka[i]
-                s = spans.get(k)
-                if s is None:
-                    if len(spans) > 1 << 20:
-                        spans.clear()
-                    n = int(na[i])
-                    s = spans[k] = float(np.frombuffer(
-                        va[i], dtype="<f4", count=n, offset=4 + 4 * n).sum())
-                span[i] = s
-                ok[i] = s >= min_ms
-            for i in np.flatnonzero(alive & ~eq):
-                ev_a, ms_a, zc_a, pref_a = get(vka[i], va[i])
-                ev_b, _, zc_b, pref_b = get(vkb[i], vb[i])
-                ok[i], span[i] = verify_audio_pair(ev_a, ms_a, zc_a,
-                                                   ev_b, zc_b, cfg,
-                                                   pref_a=pref_a,
-                                                   pref_b=pref_b)
+            st.run(vka, vkb, va, vb, np.arange(m), ok, span)
             yield pd.DataFrame({"vk_a": vka, "vk_b": vkb,
                                 "audio_okc": ok, "span_ms_c": span})
     return fn
 
 
+class _TextBoundedMemo(dict):
+    # accounted per entry: raw key + normalized copy (str overhead
+    # + up to 4 B/char) + lazily-materialized int32 codes array
+    # (4 B/char) + uint64 prefix-hash array (8 B/char) — all
+    # charged in __setitem__ up front so the in-place list
+    # mutations in _memo_codes/_memo_pref cannot bypass the
+    # budget ≈ conservatively 20 bytes/char
+    used = 0
+
+    def __setitem__(self, k, v):
+        if self.used > _MEMO_MAX_BYTES:
+            self.clear()
+            self.used = 0
+        self.used += 20 * len(k) + 160
+        super().__setitem__(k, v)
+
+
+class _TextPairState:
+    """Per-partition text verification state — shared by the channel
+    kernel and the fused per-pair kernel (same split: equal-content fast
+    path via one memoized normalize per distinct content, per-pair suffix
+    kernel for unequal contents, plus an oriented (tk_a, tk_b) -> nchars
+    result memo for the fused path's repeated content pairs)."""
+
+    def __init__(self):
+        from ..kernels.clipfeat import _text_memo, verify_text_pair
+        self._text_memo = _text_memo
+        self._verify_text_pair = verify_text_pair
+        self.memo = _TextBoundedMemo()
+        self.res: dict = {}
+
+    def run(self, tka, tkb, ta, tb, idx, nch):
+        import numpy as np
+        m = len(tka)
+        sel = np.zeros(m, dtype=bool)
+        sel[idx] = True
+        eq = sel & (tka == tkb)
+        for i in np.flatnonzero(eq):
+            nch[i] = len(self._text_memo(str(ta[i]), self.memo)[0])
+        for i in np.flatnonzero(sel & ~eq):
+            key = (tka[i], tkb[i])
+            r = self.res.get(key)
+            if r is None:
+                if len(self.res) > 1 << 21:
+                    self.res.clear()
+                r = self.res[key] = self._verify_text_pair(
+                    str(ta[i]), str(tb[i]), self.memo)
+            nch[i] = r
+
+
 def _text_kernel():
-    """Batched text verification: the equal-content fast path (tk_a ==
-    tk_b → LCS is the whole normalized string) is split off across the
-    whole Arrow batch, so exact-duplicate pairs cost one memoized
-    normalize per distinct content; only unequal pairs reach the
-    per-pair suffix kernel."""
+    """Batched text verification over distinct oriented content pairs —
+    machinery in _TextPairState (shared with the fused kernel)."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from ..kernels.clipfeat import _text_memo, verify_text_pair
-
-        class _BoundedMemo(dict):
-            # accounted per entry: raw key + normalized copy (str overhead
-            # + up to 4 B/char) + lazily-materialized int32 codes array
-            # (4 B/char) + uint64 prefix-hash array (8 B/char) — all
-            # charged in __setitem__ up front so the in-place list
-            # mutations in _memo_codes/_memo_pref cannot bypass the
-            # budget ≈ conservatively 20 bytes/char
-            used = 0
-
-            def __setitem__(self, k, v):
-                if self.used > _MEMO_MAX_BYTES:
-                    self.clear()
-                    self.used = 0
-                self.used += 20 * len(k) + 160
-                super().__setitem__(k, v)
-
-        memo = _BoundedMemo()
+        st = _TextPairState()
         for pdf in batches:
             m = len(pdf)
             if m == 0:
@@ -209,14 +274,116 @@ def _text_kernel():
             ta = pdf["transcript_a"].to_numpy()
             tb = pdf["transcript_b"].to_numpy()
             nch = np.zeros(m, dtype=np.int64)
-            eq = tka == tkb
-            for i in np.flatnonzero(eq):
-                nch[i] = len(_text_memo(str(ta[i]), memo)[0])
-            for i in np.flatnonzero(~eq):
-                nch[i] = verify_text_pair(str(ta[i]), str(tb[i]), memo)
+            st.run(tka, tkb, ta, tb, np.arange(m), nch)
             yield pd.DataFrame({"tk_a": tka, "tk_b": tkb,
                                 "nchars": nch.astype(np.int32)})
     return fn
+
+
+def _fused_kernel(cfg: PipelineConfig):
+    """Per-pair fused verification: simhash corroboration gates + both
+    channel kernels in ONE mapInPandas stage. Gate arithmetic is the
+    NumPy hamming64 kernel — bit-identical to the JVM bit_count(xor)
+    expression the content-dedup path evaluates (the single-node oracle
+    uses the same kernel). Channel work is memoized per oriented content
+    pair via the shared pair-state classes, so an n-member duplicate
+    group still costs O(distinct content pairs) kernel calls per
+    partition, not O(rows)."""
+    gate = cfg.simhash_gate_bits
+    min_chars = cfg.verify_min_chars
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..kernels.sketch import hamming64
+        A = _AudioPairState(cfg)
+        X = _TextPairState()
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            sha_a = pdf["sha_a"].to_numpy().astype(np.int64).view(np.uint64)
+            sha_b = pdf["sha_b"].to_numpy().astype(np.int64).view(np.uint64)
+            sht_a = pdf["sht_a"].to_numpy().astype(np.int64).view(np.uint64)
+            sht_b = pdf["sht_b"].to_numpy().astype(np.int64).view(np.uint64)
+            try_audio = (pdf["from_audio"].to_numpy()
+                         | (hamming64(sha_a, sha_b) <= gate))
+            try_text = (pdf["from_text"].to_numpy()
+                        | (hamming64(sht_a, sht_b) <= gate))
+            ok = np.zeros(m, dtype=bool)
+            span = np.zeros(m, dtype=np.float64)
+            nch = np.zeros(m, dtype=np.int64)
+            ia = np.flatnonzero(try_audio)
+            if ia.size:
+                A.run(pdf["vk_a"].to_numpy(), pdf["vk_b"].to_numpy(),
+                      pdf["vpack_a"].to_numpy(), pdf["vpack_b"].to_numpy(),
+                      ia, ok, span)
+            it = np.flatnonzero(try_text)
+            if it.size:
+                X.run(pdf["tk_a"].to_numpy(), pdf["tk_b"].to_numpy(),
+                      pdf["transcript_a"].to_numpy(),
+                      pdf["transcript_b"].to_numpy(), it, nch)
+            yield pd.DataFrame({
+                "a": pdf["a"], "b": pdf["b"],
+                "audio_ok": try_audio & ok,
+                "text_ok": try_text & (nch >= min_chars),
+                "span_ms": np.where(try_audio, span, 0.0),
+                "span_chars": np.where(try_text, nch, 0).astype(np.int32),
+            })
+    return fn
+
+
+#: payload broadcast budget for the FUSED verify path: two broadcasts of
+#: the candidate-universe features (with their multi-KB payload columns)
+#: must stay well under executor memory — the gate is a measured BYTE sum
+#: of the payload columns, never a row count
+_PAYLOAD_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _fused_verify(cand: DataFrame, feats: DataFrame,
+                  cfg: PipelineConfig) -> DataFrame | None:
+    """Size-gated fused verify: when the candidate-universe payloads fit
+    the broadcast budget, verify runs as ONE fused stage — candidate scan
+    → two broadcast joins → per-pair kernel — with no key-table shuffles,
+    no payload-dedup materializations and no result join-back. Wall at
+    local[32]/100k: the content-dedup path spends ~25% of its stage time
+    on barrier latency across ~40 AQE query-stage jobs (REST metrics,
+    round 4); the fused shape is the round-2 plan those metrics lost to,
+    now with content-pair memoization inside the kernel so the dispatch
+    bound stays O(distinct content pairs) per partition.
+
+    Returns None when the payloads exceed the budget — the content-dedup
+    path (payloads shuffled once per distinct content, slim 16-byte keys
+    everywhere else) is the 100 TB shape.
+    """
+    need = (cand.select(F.col("a").alias("clip_id"))
+            .unionByName(cand.select(F.col("b").alias("clip_id")))
+            .distinct())
+    fsub = (feats.select("clip_id", "simhash_audio", "simhash_text",
+                         "vk", "tk", "vpack", "transcript")
+            .join(need, "clip_id", "leftsemi")
+            .localCheckpoint(eager=True))
+    est = fsub.agg(
+        (F.coalesce(F.sum(F.octet_length("vpack")), F.lit(0))
+         + F.coalesce(F.sum(F.octet_length("transcript")), F.lit(0))
+         ).alias("bytes")).collect()[0]["bytes"]
+    if est > _PAYLOAD_BROADCAST_MAX_BYTES:
+        return None
+    ren = {"simhash_audio": "sha", "simhash_text": "sht", "vk": "vk",
+           "tk": "tk", "vpack": "vpack", "transcript": "transcript"}
+    fa = F.broadcast(fsub.select(
+        F.col("clip_id").alias("a"),
+        *[F.col(c).alias(f"{n}_a") for c, n in ren.items()]))
+    fb = F.broadcast(fsub.select(
+        F.col("clip_id").alias("b"),
+        *[F.col(c).alias(f"{n}_b") for c, n in ren.items()]))
+    # explicit repartition: the pair table is a few MB of slim rows, so
+    # AQE byte-based coalescing would run the per-ROW-expensive kernel
+    # stage on 1-2 tasks (the documented +24 s pitfall)
+    par = max(cand.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    joined = cand.repartition(par).join(fa, "a").join(fb, "b")
+    res = joined.mapInPandas(_fused_kernel(cfg), VERIFY_SCHEMA)
+    return res.where(F.col("audio_ok") | F.col("text_ok"))
 
 
 def verify_candidates(cand: DataFrame, feats: DataFrame,
@@ -228,7 +395,25 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     broadcast vs shuffle for the slim side tables — callers that already
     know it (pipeline stage manifests record per-chunk row counts; bench
     counts the persisted features) pass it to skip a count() action here.
+
+    Physical strategy is size-adaptive, like AQE's join selection:
+      1. candidate-universe payloads fit the broadcast budget → FUSED
+         single-stage per-pair kernel (_fused_verify);
+      2. slim keys fit → content-dedup path with broadcast key joins;
+      3. nothing fits → content-dedup path, all-shuffle (the 100 TB
+         plan: payloads move once per distinct content, everything else
+         is 16-byte keys).
+    All three produce the identical confirmed set (pytest-forced).
     """
+    if n_feats is None:
+        n_feats = feats.count()
+    # cheap row-count pre-gate: at a scale where even slim keys exceed
+    # the broadcast budget, don't pay the fused path's payload byte
+    # estimate just to learn the payloads are far bigger still
+    if n_feats * _SLIM_ROW_BYTES <= _BROADCAST_MAX_BYTES:
+        fused = _fused_verify(cand, feats, cfg)
+        if fused is not None:
+            return fused
     # slim per-clip side table: simhashes + content keys only, straight
     # off the feature scan (md5 is computed map-side; the multi-KB payload
     # columns are pruned, so there is nothing to restrict). When the WHOLE
@@ -240,8 +425,6 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     # the feature rows — no md5 recompute over the multi-KB payloads here
     slim_all = feats.select("clip_id", "simhash_audio", "simhash_text",
                             "vk", "tk")
-    if n_feats is None:
-        n_feats = feats.count()
     if n_feats * _SLIM_ROW_BYTES <= _BROADCAST_MAX_BYTES:
         slim, wrap = slim_all, F.broadcast
     else:

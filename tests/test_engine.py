@@ -127,6 +127,15 @@ class TestVerifyShuffleFallback:
 
         base_pdf, base_plan = run()
         assert "BroadcastHashJoin" in base_plan   # the default fast path
+        # default at this tier = the FUSED single-stage path
+        assert "FlatMapGroupsInPandas" not in base_plan
+
+        # middle strategy: payloads over budget, slim keys under it —
+        # the content-dedup path with broadcast key joins
+        monkeypatch.setattr(S_verify, "_PAYLOAD_BROADCAST_MAX_BYTES", -1)
+        mid_pdf, mid_plan = run()
+        assert "BroadcastHashJoin" in mid_plan
+        pd.testing.assert_frame_equal(base_pdf, mid_pdf)
 
         monkeypatch.setattr(S_verify, "_BROADCAST_MAX_BYTES", 0)
         conf = spark.conf
