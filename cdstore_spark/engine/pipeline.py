@@ -25,7 +25,7 @@ from .snapshot import StageCheckpoint, chunk_filter
 
 #: bump when a stage's on-disk schema or semantics change — invalidates
 #: every existing snapshot chunk via the stage fingerprint
-ENGINE_LAYOUT_VERSION = 4
+ENGINE_LAYOUT_VERSION = 5
 
 
 def stage_fingerprint(cfg: PipelineConfig, n_chunks: int,

@@ -359,16 +359,22 @@ def _fused_verify(cand: DataFrame, feats: DataFrame,
     need = (cand.select(F.col("a").alias("clip_id"))
             .unionByName(cand.select(F.col("b").alias("clip_id")))
             .distinct())
+    # the byte estimate reads ONLY the featurize-time pbytes column (one
+    # slim-column aggregate over the cached features) — the payloads
+    # themselves are never scanned, semi-joined or checkpointed unless
+    # the gate passes. The first version of this gate weighed the
+    # payloads by materializing them: at the 400k scale tier that
+    # checkpointed ~GBs just to learn the answer was "over budget".
+    est = (feats.select("clip_id", "pbytes")
+           .join(need, "clip_id", "leftsemi")
+           .agg(F.coalesce(F.sum("pbytes"), F.lit(0)).alias("bytes"))
+           .collect()[0]["bytes"])
+    if est > _PAYLOAD_BROADCAST_MAX_BYTES:
+        return None
     fsub = (feats.select("clip_id", "simhash_audio", "simhash_text",
                          "vk", "tk", "vpack", "transcript")
             .join(need, "clip_id", "leftsemi")
             .localCheckpoint(eager=True))
-    est = fsub.agg(
-        (F.coalesce(F.sum(F.octet_length("vpack")), F.lit(0))
-         + F.coalesce(F.sum(F.octet_length("transcript")), F.lit(0))
-         ).alias("bytes")).collect()[0]["bytes"]
-    if est > _PAYLOAD_BROADCAST_MAX_BYTES:
-        return None
     ren = {"simhash_audio": "sha", "simhash_text": "sht", "vk": "vk",
            "tk": "tk", "vpack": "vpack", "transcript": "transcript"}
     fa = F.broadcast(fsub.select(

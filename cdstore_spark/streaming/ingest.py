@@ -49,7 +49,7 @@ BAND_INDEX_BUCKETS = 16
 #: partitioning) — ensure_incremental_run then rebuilds instead of serving
 #: a stale-layout cache. Independent of ENGINE_LAYOUT_VERSION, which tracks
 #: featurize schema/semantics.
-STREAM_LAYOUT_VERSION = 4
+STREAM_LAYOUT_VERSION = 5
 
 #: compact the band index once this many epoch partitions accumulate above
 #: the newest base layer — an always-on stream otherwise accrues one
