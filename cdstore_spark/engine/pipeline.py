@@ -87,14 +87,19 @@ def run_pipeline(spark: SparkSession, clips_path: str, workdir: str,
     ck_ver = StageCheckpoint(workdir, "s7_confirmed", n_chunks, fp)
     # chunks are disjoint hash ranges of the pair key — run them
     # CONCURRENTLY so one chunk's driver-serial phases (broadcast builds,
-    # small-stage scheduling) overlap another's executor work
+    # small-stage scheduling) overlap another's executor work. Each
+    # concurrent chunk gets 1/workers of the verify broadcast budgets:
+    # the fused path's payload gate is per-invocation, and without the
+    # division 4 chunks could pin 4 x 2 x 256 MB of payload broadcasts
+    # at once
+    ver_workers = min(4, n_chunks)
     confirmed = ck_ver.run(
         spark,
         lambda i: S_verify.verify_candidates(
             cand.where(chunk_filter("a", n_chunks, i)), feats, cfg,
-            n_feats=n_feats),
+            n_feats=n_feats, budget_shares=ver_workers),
         hash_cols_for_lineage=["a", "b", "audio_ok", "text_ok"],
-        max_workers=min(4, n_chunks))
+        max_workers=ver_workers)
 
     ck_clust = StageCheckpoint(workdir, "s8_clusters", 1, fp)
     clusters = ck_clust.run(

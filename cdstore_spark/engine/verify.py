@@ -103,9 +103,13 @@ class _AudioPairState:
         exact-duplicate group costs n sums, not n^2 kernel calls;
       * result memo — oriented (vk_a, vk_b) -> (ok, span): on the fused
         per-pair path the same content pair recurs across rows of a
-        partition, and the kernels are pure functions of content (entries
-        are ~200 B, bounded by count). On the dedup path keys are already
-        distinct per partition, so it costs one dict probe per row.
+        partition, and the kernels are pure functions of content. On the
+        dedup path keys are already distinct per partition, so it costs
+        one dict probe per row. Both the span and result memos are
+        BYTE-budgeted against _MEMO_MAX_BYTES like the unpack memo
+        (~200 B/entry approximation charged per insert) — entry-count
+        caps alone would admit hundreds of MB of tuple/dict overhead
+        per concurrently-running kernel task before clearing.
 
     Only surviving unequal unseen pairs reach the suffix-array kernel.
     """
@@ -126,7 +130,9 @@ class _AudioPairState:
         self.unp: dict = {}
         self.used = 0
         self.spans: dict = {}   # vk -> full-stream float32 ms sum
+        self.spans_used = 0
         self.res: dict = {}     # (vk_a, vk_b) -> (ok, span)
+        self.res_used = 0
 
     def get(self, k, buf):
         r = self.unp.get(k)
@@ -163,24 +169,30 @@ class _AudioPairState:
             k = vka[i]
             s = self.spans.get(k)
             if s is None:
-                if len(self.spans) > 1 << 20:
+                if self.spans_used > _MEMO_MAX_BYTES:
                     self.spans.clear()
+                    self.spans_used = 0
                 n = int(na[i])
                 s = self.spans[k] = float(np.frombuffer(
                     va[i], dtype="<f4", count=n, offset=4 + 4 * n).sum())
+                # ~key str + float + dict slot overhead per entry
+                self.spans_used += 2 * len(k) + 120
             span[i] = s
             ok[i] = s >= self.min_ms
         for i in np.flatnonzero(alive & ~eq):
             key = (vka[i], vkb[i])
             r = self.res.get(key)
             if r is None:
-                if len(self.res) > 1 << 21:
+                if self.res_used > _MEMO_MAX_BYTES:
                     self.res.clear()
+                    self.res_used = 0
                 ev_a, ms_a, zc_a, pref_a = self.get(vka[i], va[i])
                 ev_b, _, zc_b, pref_b = self.get(vkb[i], vb[i])
                 r = self.res[key] = self._verify_audio_pair(
                     ev_a, ms_a, zc_a, ev_b, zc_b, self.cfg,
                     pref_a=pref_a, pref_b=pref_b)
+                # ~two key strs + tuple(bool, float) + dict slot overhead
+                self.res_used += 2 * (len(key[0]) + len(key[1])) + 200
             ok[i], span[i] = r
 
 
@@ -238,6 +250,7 @@ class _TextPairState:
         self._verify_text_pair = verify_text_pair
         self.memo = _TextBoundedMemo()
         self.res: dict = {}
+        self.res_used = 0
 
     def run(self, tka, tkb, ta, tb, idx, nch):
         import numpy as np
@@ -251,10 +264,13 @@ class _TextPairState:
             key = (tka[i], tkb[i])
             r = self.res.get(key)
             if r is None:
-                if len(self.res) > 1 << 21:
+                if self.res_used > _MEMO_MAX_BYTES:
                     self.res.clear()
+                    self.res_used = 0
                 r = self.res[key] = self._verify_text_pair(
                     str(ta[i]), str(tb[i]), self.memo)
+                # ~two key strs + int + dict slot overhead per entry
+                self.res_used += 2 * (len(key[0]) + len(key[1])) + 200
             nch[i] = r
 
 
@@ -341,7 +357,9 @@ _PAYLOAD_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _fused_verify(cand: DataFrame, feats: DataFrame,
-                  cfg: PipelineConfig) -> DataFrame | None:
+                  cfg: PipelineConfig,
+                  payload_budget: int = _PAYLOAD_BROADCAST_MAX_BYTES
+                  ) -> DataFrame | None:
     """Size-gated fused verify: when the candidate-universe payloads fit
     the broadcast budget, verify runs as ONE fused stage — candidate scan
     → two broadcast joins → per-pair kernel — with no key-table shuffles,
@@ -369,7 +387,7 @@ def _fused_verify(cand: DataFrame, feats: DataFrame,
            .join(need, "clip_id", "leftsemi")
            .agg(F.coalesce(F.sum("pbytes"), F.lit(0)).alias("bytes"))
            .collect()[0]["bytes"])
-    if est > _PAYLOAD_BROADCAST_MAX_BYTES:
+    if est > payload_budget:
         return None
     fsub = (feats.select("clip_id", "simhash_audio", "simhash_text",
                          "vk", "tk", "vpack", "transcript")
@@ -394,13 +412,21 @@ def _fused_verify(cand: DataFrame, feats: DataFrame,
 
 def verify_candidates(cand: DataFrame, feats: DataFrame,
                       cfg: PipelineConfig = DEFAULT,
-                      n_feats: int | None = None) -> DataFrame:
+                      n_feats: int | None = None,
+                      budget_shares: int = 1) -> DataFrame:
     """Candidate pairs + features → confirmed pairs (audio_ok OR text_ok).
 
     `n_feats` (optional) is the known feature-row count, used only to pick
     broadcast vs shuffle for the slim side tables — callers that already
     know it (pipeline stage manifests record per-chunk row counts; bench
     counts the persisted features) pass it to skip a count() action here.
+
+    `budget_shares`: number of verify invocations that may MATERIALIZE
+    CONCURRENTLY (run_pipeline runs pair-key chunks in parallel threads).
+    Each invocation's broadcast gates see only its own bytes, so the
+    per-invocation budgets are divided by the share count — otherwise
+    4 concurrent chunks could each pass the 256 MB payload gate and pin
+    ~2 GB of simultaneous payload broadcasts plus eager localCheckpoints.
 
     Physical strategy is size-adaptive, like AQE's join selection:
       1. candidate-universe payloads fit the broadcast budget → FUSED
@@ -411,13 +437,17 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
          is 16-byte keys).
     All three produce the identical confirmed set (pytest-forced).
     """
+    shares = max(1, int(budget_shares))
+    payload_budget = _PAYLOAD_BROADCAST_MAX_BYTES // shares
+    slim_budget = _BROADCAST_MAX_BYTES // shares
     if n_feats is None:
         n_feats = feats.count()
     # cheap row-count pre-gate: at a scale where even slim keys exceed
     # the broadcast budget, don't pay the fused path's payload byte
     # estimate just to learn the payloads are far bigger still
-    if n_feats * _SLIM_ROW_BYTES <= _BROADCAST_MAX_BYTES:
-        fused = _fused_verify(cand, feats, cfg)
+    if n_feats * _SLIM_ROW_BYTES <= slim_budget:
+        fused = _fused_verify(cand, feats, cfg,
+                              payload_budget=payload_budget)
         if fused is not None:
             return fused
     # slim per-clip side table: simhashes + content keys only, straight
@@ -431,7 +461,7 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     # the feature rows — no md5 recompute over the multi-KB payloads here
     slim_all = feats.select("clip_id", "simhash_audio", "simhash_text",
                             "vk", "tk")
-    if n_feats * _SLIM_ROW_BYTES <= _BROADCAST_MAX_BYTES:
+    if n_feats * _SLIM_ROW_BYTES <= slim_budget:
         slim, wrap = slim_all, F.broadcast
     else:
         need = (cand.select(F.col("a").alias("clip_id"))
@@ -482,13 +512,14 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
 
     # audio channel: distinct oriented content pairs → kernel → results.
     # The payload table holds one row per distinct PROBED content: a
-    # broadcast semi-join on the probed key set filters the feature scan
-    # map-side, then dropDuplicates shuffles only the surviving payloads
-    # (map-side partial agg). Payload tables broadcast into BOTH key
-    # joins, so the repartitioned key rows keep their parallelism and
-    # payload rows never shuffle. (At a scale where the probed-content
-    # payload table outgrows broadcast budgets, drop the hints — the
-    # fallback is a shuffle join on 16-byte keys.)
+    # semi-join on the probed key set filters the feature scan map-side,
+    # then dropDuplicates shuffles only the surviving payloads (map-side
+    # partial agg). No static broadcast hints — AQE sizes the payload
+    # table at runtime (module comment above): at test tiers it
+    # broadcasts into BOTH key joins so the repartitioned key rows keep
+    # their parallelism and payload rows never shuffle; at a scale where
+    # it outgrows the adaptive threshold, the plan degrades to a shuffle
+    # join on 16-byte keys with payloads moving once per distinct content.
     audio_keys = scoped_persist(joined.where("try_audio")
                                 .select("vk_a", "vk_b").distinct())
     vk_need = (audio_keys.select(F.col("vk_a").alias("vk"))
@@ -532,12 +563,13 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
                      "tk_b"))
     text_res = text_in.mapInPandas(_text_kernel(), _TEXT_RES_SCHEMA)
 
-    # join content-level results back to the slim pair table — broadcast
-    # hinted: the result tables are bounded by distinct content pairs
-    # (~12 MB here, just over the auto threshold, so AQE would otherwise
-    # sort-merge and shuffle the pair table twice); at a scale where
-    # content-pair results outgrow broadcast, drop the hints and this is
-    # a shuffle join of two slim tables
+    # join content-level results back to the slim pair table — no static
+    # hints here either: the result tables are bounded by distinct
+    # content pairs, and AQE's 64 MB adaptive threshold (session.py)
+    # broadcast-converts them at runtime when they fit (a static
+    # F.broadcast would be a driver-serial build that grows with the
+    # corpus); at a scale where content-pair results outgrow broadcast,
+    # this is a shuffle join of two slim tables
     out = (joined
            .join(audio_res, ["vk_a", "vk_b"], "left")
            .join(text_res, ["tk_a", "tk_b"], "left")

@@ -111,9 +111,15 @@ def _epoch_partitions(band_dir: str) -> list[int]:
 
 
 def band_index_lookup(spark: SparkSession, band_dir: str, epoch_id: int,
-                      bps: list[int]) -> DataFrame:
+                      bps: list[int]) -> DataFrame | None:
     """Reader over the persisted band index restricted to strictly-earlier
-    epochs and the probed hash-prefix buckets.
+    epochs and the probed hash-prefix buckets. Returns None when neither
+    layer holds any prior-epoch rows (first epoch, or a fresh compaction
+    left zero loose epoch partitions and no base applies) — each layer is
+    read ONLY if its partitions exist on disk, so an empty recent layer
+    after compaction can never throw schema-inference errors (which a
+    caller would have to treat as 'no prior epochs', silently dropping the
+    base layer's matches).
 
     Two layers: the newest replay-safe BASE (epochs <= its watermark W,
     partitioned by bp only) plus the per-epoch partitions in (W, epoch_id).
@@ -125,11 +131,13 @@ def band_index_lookup(spark: SparkSession, band_dir: str, epoch_id: int,
     bp_list = [int(b) for b in bps]
     base = _latest_base(band_dir, int(epoch_id))
     w = base[0] if base else -1
-    recent = (spark.read.parquet(band_dir)
-              .where((F.col("epoch") < F.lit(int(epoch_id)))
-                     & (F.col("epoch") > F.lit(w))
-                     & (F.col("bp").isin(bp_list)))
-              .select(*_BAND_COLS))
+    recent = None
+    if any(w < e < int(epoch_id) for e in _epoch_partitions(band_dir)):
+        recent = (spark.read.parquet(band_dir)
+                  .where((F.col("epoch") < F.lit(int(epoch_id)))
+                         & (F.col("epoch") > F.lit(w))
+                         & (F.col("bp").isin(bp_list)))
+                  .select(*_BAND_COLS))
     if base is None:
         return recent
     base_df = (spark.read.parquet(base[1])
@@ -138,6 +146,8 @@ def band_index_lookup(spark: SparkSession, band_dir: str, epoch_id: int,
                # the residual filter is a cheap belt-and-suspenders
                .where(F.col("epoch") < F.lit(int(epoch_id)))
                .select(*_BAND_COLS))
+    if recent is None:
+        return base_df
     return recent.unionByName(base_df)
 
 
@@ -164,6 +174,10 @@ def compact_band_index(spark: SparkSession, band_dir: str,
     epochs = [e for e in _epoch_partitions(band_dir)
               if e <= int(through_epoch) and (old is None or e > old[0])]
     if not epochs:
+        if old is not None:
+            # nothing new to fold, but a prior crash may have left epoch
+            # partitions the existing base already covers — sweep them
+            _sweep_covered(band_dir, old[0], keep_base=old[1])
         return old[1] if old is not None else ""
     src = (spark.read.parquet(band_dir)
            .where(F.col("epoch") <= F.lit(int(through_epoch))
@@ -181,19 +195,44 @@ def compact_band_index(spark: SparkSession, band_dir: str,
      .write.mode("overwrite").partitionBy("bp").parquet(out))
     with open(os.path.join(out, "_DONE"), "w") as f:
         f.write(str(int(through_epoch)))
-    # cleanup AFTER the marker: folded epochs and superseded bases
-    for e in epochs:
-        shutil.rmtree(os.path.join(band_dir, f"epoch={e}"),
-                      ignore_errors=True)
-    if old is not None:
-        shutil.rmtree(old[1], ignore_errors=True)
+    # cleanup AFTER the marker: EVERY epoch partition the new base covers
+    # and EVERY superseded base — not just what this run folded. A crash
+    # between a previous compaction's _DONE and its cleanup can leave
+    # covered epoch partitions and older bases behind; they are excluded
+    # by every lookup (epoch > W / _latest_base picks the newest) but
+    # would otherwise leak disk forever.
+    _sweep_covered(band_dir, int(through_epoch), keep_base=out)
     return out
+
+
+def _sweep_covered(band_dir: str, watermark: int, keep_base: str) -> None:
+    """Remove every epoch partition <= watermark and every base layer
+    other than keep_base with a watermark < watermark (all are covered by
+    keep_base; lookups already ignore them)."""
+    import shutil
+
+    for e in _epoch_partitions(band_dir):
+        if e <= watermark:
+            shutil.rmtree(os.path.join(band_dir, f"epoch={e}"),
+                          ignore_errors=True)
+    root = _base_root(band_dir)
+    keep = os.path.basename(keep_base.rstrip("/"))
+    for name in os.listdir(root):
+        if not name.startswith("v=") or name == keep:
+            continue
+        try:
+            w_old = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if w_old < watermark:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
 def incremental_dedup_ingest(spark: SparkSession, input_dir: str,
                              state_dir: str,
                              cfg: PipelineConfig = DEFAULT,
-                             available_now: bool = True):
+                             available_now: bool = True,
+                             compact_every: int | None = None):
     """Start the incremental ingest stream; returns the StreamingQuery.
 
     state_dir/features: accumulated feature rows (parquet, epoch-tagged)
@@ -203,6 +242,9 @@ def incremental_dedup_ingest(spark: SparkSession, input_dir: str,
     state_dir/pairs:    accumulated candidate pairs
     state_dir/_checkpoint: Structured Streaming WAL/commit log
     """
+    if compact_every is None:
+        compact_every = BAND_COMPACT_EVERY   # resolved at call time so
+        # tests/benches can retune the module default via monkeypatch
     feat_dir = os.path.join(state_dir, "features")
     band_dir = os.path.join(state_dir, "bands")
     pair_dir = os.path.join(state_dir, "pairs")
@@ -237,20 +279,22 @@ def incremental_dedup_ingest(spark: SparkSession, input_dir: str,
                    new_bands.select("bp").distinct().collect()]
             cross = None
             if bps:
-                try:
-                    # match ONLY strictly-earlier epochs: a REPLAYED epoch
-                    # must see exactly the index state its original run
-                    # saw, or its epoch partition's pair content would
-                    # differ (and pairs already owned by later epochs
-                    # would duplicate). Reads the compact band index, NOT
-                    # the feature store — per-batch match cost is bounded
-                    # by the colliding index buckets, independent of how
-                    # many epochs of multi-KB feature payloads exist.
-                    old_bands = band_index_lookup(spark_l, band_dir,
-                                                  int(epoch_id), bps)
-                    have_old = len(old_bands.take(1)) > 0
-                except Exception:
-                    have_old = False
+                # match ONLY strictly-earlier epochs: a REPLAYED epoch
+                # must see exactly the index state its original run
+                # saw, or its epoch partition's pair content would
+                # differ (and pairs already owned by later epochs
+                # would duplicate). Reads the compact band index, NOT
+                # the feature store — per-batch match cost is bounded
+                # by the colliding index buckets, independent of how
+                # many epochs of multi-KB feature payloads exist.
+                # No try/except: the lookup returns None structurally
+                # when no prior-epoch layer exists; a real read error
+                # must FAIL the batch (streaming retries it) rather
+                # than silently dropping cross-epoch matches.
+                old_bands = band_index_lookup(spark_l, band_dir,
+                                              int(epoch_id), bps)
+                have_old = (old_bands is not None
+                            and len(old_bands.take(1)) > 0)
                 if have_old:
                     key = ["channel", "band_idx", "band_hash"]
                     # new-vs-old: inner join on band key (index lookup);
@@ -294,7 +338,7 @@ def incremental_dedup_ingest(spark: SparkSession, input_dir: str,
             loose = [e for e in _epoch_partitions(band_dir)
                      if e < int(epoch_id)
                      and (old is None or e > old[0])]
-            if len(loose) >= BAND_COMPACT_EVERY:
+            if len(loose) >= compact_every:
                 compact_band_index(spark_l, band_dir, int(epoch_id) - 1)
         finally:
             if new_bands is not None:

@@ -117,9 +117,9 @@ class TestVerifyShuffleFallback:
         cand = cand.persist()
         cand.count()
 
-        def run():
+        def run(**kw):
             with cache_scope():
-                df = S_verify.verify_candidates(cand, feats, CFG)
+                df = S_verify.verify_candidates(cand, feats, CFG, **kw)
                 pdf = df.toPandas()
                 plan = df._jdf.queryExecution().executedPlan().toString()
             key = ["a", "b"]
@@ -129,6 +129,13 @@ class TestVerifyShuffleFallback:
         assert "BroadcastHashJoin" in base_plan   # the default fast path
         # default at this tier = the FUSED single-stage path
         assert "FlatMapGroupsInPandas" not in base_plan
+
+        # budget_shares divides the per-invocation broadcast budgets (the
+        # concurrent-chunk memory bound): an absurd share count must push
+        # strategy selection off the fused/broadcast paths while producing
+        # the identical confirmed set
+        shared_pdf, _ = run(budget_shares=1 << 30)
+        pd.testing.assert_frame_equal(base_pdf, shared_pdf)
 
         # middle strategy: payloads over budget, slim keys under it —
         # the content-dedup path with broadcast key joins

@@ -220,6 +220,66 @@ class TestIncrementalIngest:
             .select("a", "b", "epoch").toPandas().values.tolist()))
         assert replay_pairs == ref_pairs
 
+    def test_lookup_after_full_compaction_and_stale_base_sweep(
+            self, spark, staged_clips, tmp_path):
+        """Two crash/edge hygiene properties of the band index:
+
+        (a) when compaction folds EVERY epoch partition into the base
+            (zero loose epochs), a lookup must still return the base
+            layer's rows — structurally, not via an exception path that
+            would silently drop all cross-epoch matches;
+        (b) a crash that leaves multiple _DONE bases behind must not leak
+            the older ones forever — the next compaction sweeps every
+            base with a smaller watermark, not just the one it folded."""
+        import glob
+
+        from cdstore_spark.streaming import ingest as I
+        _, src = staged_clips
+        # 12 files x 10 clips at maxFilesPerTrigger=4 → 3 micro-batches
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from cdstore_spark.golden import _CLIPS_SCHEMA
+        in_dir = tmp_path / "incoming_full"
+        in_dir.mkdir()
+        for i in range(12):
+            part = src.iloc[i * 10:(i + 1) * 10]
+            pq.write_table(pa.Table.from_pandas(part, schema=_CLIPS_SCHEMA,
+                                                preserve_index=False),
+                           str(in_dir / f"arrival_{i:02d}.parquet"))
+        state = str(tmp_path / "state_full")
+        q = I.incremental_dedup_ingest(spark, str(in_dir), state)
+        q.awaitTermination(300)
+        band_dir = os.path.join(state, "bands")
+        epochs = I._epoch_partitions(band_dir)
+        assert epochs == [0, 1, 2]
+        ref_rows = spark.read.parquet(band_dir).count()
+
+        # (b) plant a fake stale base as if an older compaction's cleanup
+        # crashed after its _DONE landed
+        stale = os.path.join(I._base_root(band_dir), "v=0")
+        os.makedirs(stale, exist_ok=True)
+        spark.read.parquet(band_dir).where("epoch = 0") \
+            .select(*I._BAND_COLS).write.mode("overwrite") \
+            .partitionBy("bp").parquet(stale)
+        with open(os.path.join(stale, "_DONE"), "w") as f:
+            f.write("0")
+
+        # fold EVERYTHING (epochs 0..2) into one base
+        out = I.compact_band_index(spark, band_dir, 2)
+        assert out.endswith("v=2")
+        assert I._epoch_partitions(band_dir) == []       # zero loose epochs
+        bases = sorted(glob.glob(os.path.join(I._base_root(band_dir), "v=*")))
+        assert bases == [out], bases                     # stale v=0 swept
+
+        # (a) lookup as the next epoch: base-only read, every row exactly
+        # once, no exception from the empty recent layer
+        look = I.band_index_lookup(spark, band_dir, 3,
+                                   list(range(I.BAND_INDEX_BUCKETS)))
+        assert look is not None and look.count() == ref_rows
+        # replay of epoch 0 must see nothing: the base (W=2) is not
+        # replay-safe for it and no loose epochs remain
+        assert I.band_index_lookup(spark, band_dir, 0, [0, 1]) is None
+
     def test_cross_batch_pairs_found(self, spark, staged_clips, tmp_path):
         """Planted duplicates split across arrival files must still pair up
         (new-vs-old band index join)."""
