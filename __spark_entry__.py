@@ -681,7 +681,8 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.8
             JOIN read_parquet('{clus}') g USING (clip_id)""",
         "streaming_incremental_features": f"""
             SELECT clip_id, n_samples, pcm_sha256
-            FROM read_parquet('{pcm}')""",
+            FROM read_parquet(
+                '{GF.path("expected_stream_features.parquet")}')""",
         "audio_skew_stats": f"""
             SELECT channel, n_buckets, max_bucket, subbucket_splits,
                    buckets_block_split

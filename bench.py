@@ -139,6 +139,68 @@ def worker(cpus: int, what: str, path: str, out: str) -> None:
         res = {"wall_s": time.time() - t0, "rows": n, "candidates": n_cand,
                "confirmed": n_conf, "cluster_rows": n_clus,
                "confirmed_hash": str(h), "stages": stages}
+    elif what == "streaming":
+        # incremental ingest throughput + band-index lookup cost: the
+        # correctness-tier clips staged as 64 arrival files drain through
+        # incremental_dedup_ingest (maxFilesPerTrigger=4 → 16 epochs).
+        # STREAM_COMPACT=0 disables band-index compaction so main() can
+        # report lookup wall + listed-partition count before vs after.
+        import glob
+        import tempfile
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+        from cdstore_spark import golden
+        from cdstore_spark.streaming import ingest as I
+        compact = os.environ.get("STREAM_COMPACT", "1") == "1"
+        work = tempfile.mkdtemp(prefix="stream_bench_")
+        in_dir = os.path.join(work, "input")
+        os.makedirs(in_dir)
+        tbl = pq.read_table(path)
+        n_files = 64
+        step = (tbl.num_rows + n_files - 1) // n_files
+        for i in range(n_files):
+            part = tbl.slice(i * step, step)
+            if part.num_rows:
+                pq.write_table(part,
+                               os.path.join(in_dir, f"part-{i:04d}.parquet"),
+                               row_group_size=512)
+        state = os.path.join(work, "state")
+        t1 = time.time()
+        q = I.incremental_dedup_ingest(
+            spark, in_dir, state,
+            compact_every=(I.BAND_COMPACT_EVERY if compact else 1 << 30))
+        q.awaitTermination()
+        ingest_s = time.time() - t1
+        band_dir = os.path.join(state, "bands")
+        n_epochs = spark.read.parquet(
+            os.path.join(state, "features")).select("epoch") \
+            .distinct().count()
+        # listed leaf partitions across both layers — the quantity the
+        # compaction watermark bounds (file listing is what grows with
+        # stream lifetime on an always-on ingest)
+        leaves = (glob.glob(os.path.join(band_dir, "epoch=*", "bp=*"))
+                  + glob.glob(os.path.join(
+                      I._base_root(band_dir), "v=*", "bp=*")))
+        # cold lookup as the next epoch probing every bucket: pays the
+        # partition listing + scan of both layers
+        t1 = time.time()
+        look = I.band_index_lookup(spark, band_dir, n_epochs,
+                                   list(range(I.BAND_INDEX_BUCKETS)))
+        lookup_rows = look.count() if look is not None else 0
+        lookup_s = time.time() - t1
+        pairs = spark.read.parquet(os.path.join(state, "pairs"))
+        h = pairs.agg(F.expr("bit_xor(xxhash64(a, b))").alias("h")
+                      ).collect()[0]["h"]
+        res = {"wall_s": ingest_s, "rows": int(tbl.num_rows),
+               "epochs": int(n_epochs), "compacted": compact,
+               "pairs": pairs.count(), "pairs_hash": str(h),
+               "lookup_s": round(lookup_s, 3),
+               "lookup_rows": int(lookup_rows),
+               "leaf_partitions": len(leaves),
+               "loose_epochs": len(I._epoch_partitions(band_dir))}
+        import shutil
+        shutil.rmtree(work, ignore_errors=True)
     elif what == "docdedup":
         # document-channel dedup end-to-end: MinHash signatures →
         # skew-bounded LSH band join → union-find clusters, over the
@@ -201,10 +263,13 @@ def _history_min(job: str, samples: dict[int, float]) -> dict[int, float]:
 _STDERR_ISSUES: list[str] = []
 
 
-def _run_level(cpus: int, what: str, path: str) -> dict:
-    out = f"/tmp/bench_{what}_{cpus}.json"
-    err_path = f"/tmp/bench_{what}_{cpus}.stderr"
+def _run_level(cpus: int, what: str, path: str,
+               env_extra: dict[str, str] | None = None,
+               tag: str = "") -> dict:
+    out = f"/tmp/bench_{what}{tag}_{cpus}.json"
+    err_path = f"/tmp/bench_{what}{tag}_{cpus}.stderr"
     env = dict(os.environ)
+    env.update(env_extra or {})
     with open(err_path, "w") as err:
         subprocess.run([sys.executable, os.path.abspath(__file__),
                         "--worker", str(cpus), what, path, out],
@@ -296,6 +361,63 @@ def main() -> None:
           f"({n_hot_pairs} capped pairs vs {hot_m*(hot_m-1)//2} naive/band; "
           f"one {hot_m}-member cluster)", file=sys.stderr)
     spark.stop()
+
+    # ---- streaming ingest + band-index compaction -------------------------
+    # The streaming path's scale posture, measured (round-5): 10k clips
+    # staged as 64 arrival files drain through incremental_dedup_ingest in
+    # 16 micro-batch epochs. Run A disables compaction (the unbounded
+    # always-on-stream shape); run B keeps the default cadence
+    # (BAND_COMPACT_EVERY=8 → the fold fires while processing epoch 8).
+    # Identical pair sets are asserted, the post-compaction partition
+    # listing is asserted under its documented bound, and the cold
+    # band-index lookup is timed against both layouts.
+    streaming_block = None
+    if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
+        from cdstore_spark import golden as _gold
+        from cdstore_spark.streaming.ingest import (BAND_COMPACT_EVERY,
+                                                    BAND_INDEX_BUCKETS)
+        _gold.ensure_clips("correctness")
+        corr_clips = _gold.clips_path("correctness")
+        print("bench: streaming ingest (10k clips, 16 epochs) "
+              "uncompacted ...", file=sys.stderr)
+        s_a = _run_level(CPUS, "streaming", corr_clips,
+                         env_extra={"STREAM_COMPACT": "0"}, tag="_nc")
+        print("bench: streaming ingest (10k clips, 16 epochs) "
+              "compacted ...", file=sys.stderr)
+        s_b = _run_level(CPUS, "streaming", corr_clips,
+                         env_extra={"STREAM_COMPACT": "1"}, tag="_c")
+        # compaction must not change WHAT the stream discovers
+        assert s_a["pairs"] == s_b["pairs"], (s_a["pairs"], s_b["pairs"])
+        assert s_a["pairs_hash"] == s_b["pairs_hash"]
+        assert s_a["lookup_rows"] == s_b["lookup_rows"]
+        # the documented listing bound: loose epochs above the base stay
+        # under the cadence, total leaf partitions under buckets x (cadence
+        # + 1 base layer) — vs O(epochs x buckets) uncompacted
+        bound = BAND_INDEX_BUCKETS * (BAND_COMPACT_EVERY + 1)
+        assert s_b["loose_epochs"] <= BAND_COMPACT_EVERY, s_b
+        assert s_b["leaf_partitions"] <= bound, (s_b, bound)
+        assert s_a["leaf_partitions"] > s_b["leaf_partitions"], (s_a, s_b)
+        streaming_block = {
+            "n_clips": s_b["rows"], "epochs": s_b["epochs"],
+            "ingest_wall_s": round(s_b["wall_s"], 2),
+            "clips_per_sec": round(s_b["rows"] / s_b["wall_s"], 1),
+            "pairs": s_b["pairs"],
+            "compact_every": BAND_COMPACT_EVERY,
+            "leaf_partitions_uncompacted": s_a["leaf_partitions"],
+            "leaf_partitions_compacted": s_b["leaf_partitions"],
+            "leaf_partition_bound": bound,
+            "lookup_s_uncompacted": s_a["lookup_s"],
+            "lookup_s_compacted": s_b["lookup_s"],
+            "lookup_rows": s_b["lookup_rows"],
+            "ingest_wall_s_uncompacted": round(s_a["wall_s"], 2),
+        }
+        queries_s["streaming_ingest_16epochs"] = round(s_b["wall_s"], 2)
+        _history_append("streaming_ingest", {CPUS: s_b["wall_s"]})
+        print(f"bench: streaming ingest {s_b['wall_s']:.1f}s "
+              f"({s_b['rows'] / s_b['wall_s']:.0f} clips/s), lookup "
+              f"{s_a['lookup_s']}s→{s_b['lookup_s']}s, partitions "
+              f"{s_a['leaf_partitions']}→{s_b['leaf_partitions']} "
+              f"(bound {bound})", file=sys.stderr)
 
     # ---- N → 4N scaling on the same input ---------------------------------
     # featurize (the compute-bound per-clip path) at 2/8/32 AND the full
@@ -390,31 +512,43 @@ def main() -> None:
         from cdstore_spark import golden as _g
         scale_n = _g.TIERS["scale"][0]
         scale_clips = _ensure_bench_clips("scale")
+        # 2→8 is the partitioning-valid N→4N pair; the 32 level extends
+        # the curve to the tier where fixed costs are amortized and
+        # separates the hardware clock cap (8→32 on this VM is frequency-
+        # limited, BENCH.md) from engine behavior at the big corpus
+        s_levels = (2, 8, 32)
         per, samples = {}, {}
-        for cpus in (2, 8):
+        for cpus in s_levels:
             print(f"bench: scale-tier e2e ({scale_n} clips) at "
                   f"local[{cpus}] ...", file=sys.stderr)
             r = _run_level(cpus, "e2e", scale_clips)
             per[cpus], samples[cpus] = r["wall_s"], r
             queries_s[f"e2e_scale_local{cpus}"] = round(r["wall_s"], 2)
-        assert samples[2]["confirmed"] == samples[8]["confirmed"], samples
-        assert (samples[2]["confirmed_hash"]
-                == samples[8]["confirmed_hash"]), samples
-        d = {"levels": [2, 8], "n_clips": scale_n,
+        for cpus in s_levels:
+            assert samples[cpus]["confirmed"] == samples[8]["confirmed"], \
+                samples
+            assert (samples[cpus]["confirmed_hash"]
+                    == samples[8]["confirmed_hash"]), samples
+        d = {"levels": list(s_levels), "n_clips": scale_n,
              "confirmed_pairs": samples[8]["confirmed"],
              "confirmed_hash_match": True}
-        for cpus in (2, 8):
+        for cpus in s_levels:
             d[f"wall_s_local{cpus}"] = round(per[cpus], 2)
             d[f"clips_per_sec_local{cpus}"] = round(scale_n / per[cpus], 1)
-        d["scaling_efficiency_2to8"] = round((per[2] / per[8]) / 4, 3)
+        for lo, hi in zip(s_levels, s_levels[1:]):
+            d[f"scaling_efficiency_{lo}to{hi}"] = round(
+                (per[lo] / per[hi]) / (hi / lo), 3)
         _history_append("e2e_scale", per)
         best = _history_min("e2e_scale", per)
-        for cpus in (2, 8):
+        for cpus in s_levels:
             d[f"best_wall_s_local{cpus}"] = round(best[cpus], 2)
-        d["capability_efficiency_2to8"] = round((best[2] / best[8]) / 4, 3)
+        for lo, hi in zip(s_levels, s_levels[1:]):
+            d[f"capability_efficiency_{lo}to{hi}"] = round(
+                (best[lo] / best[hi]) / (hi / lo), 3)
         scale["e2e_scale"] = d
         print(f"bench: scale-tier e2e eff 2→8 = "
-              f"{d['scaling_efficiency_2to8']}", file=sys.stderr)
+              f"{d['scaling_efficiency_2to8']}, 8→32 = "
+              f"{d['scaling_efficiency_8to32']}", file=sys.stderr)
 
     result = {
         "metric": f"dedup_pipeline_e2e_wall_{tier}_local{CPUS}",
@@ -429,6 +563,7 @@ def main() -> None:
         "confirmed_pairs": e2e.get("confirmed"),
         "scaling": scale,
         "hot_docs": hot_evidence,
+        "streaming": streaming_block,
         # zero-tolerance artifact hygiene: any ERROR/exception line in any
         # worker's captured stderr is surfaced here (expected: [])
         "stderr_issues": _STDERR_ISSUES,
@@ -565,6 +700,31 @@ def _write_bench_md(r: dict) -> None:
         f"one {r['hot_docs']['m']:,}-member cluster — the skew bound "
         "proven at scale, as a bench-gated invariant.",
         "",
+        *([] if not r.get("streaming") else [
+            "## Streaming ingest (measured, round 5+)",
+            "",
+            (lambda st: (
+                f"Incremental dedup ingest: {st['n_clips']:,} clips staged "
+                f"as 64 arrival files, drained in {st['epochs']} "
+                f"micro-batch epochs with band-index compaction every "
+                f"{st['compact_every']} epochs — ingest "
+                f"{st['ingest_wall_s']}s (**{st['clips_per_sec']} "
+                f"clips/s**), {st['pairs']:,} cross+within-epoch candidate "
+                f"pairs (pair set + order-insensitive hash asserted "
+                f"IDENTICAL to an uncompacted run of the same arrivals, "
+                f"{st['ingest_wall_s_uncompacted']}s). Cold band-index "
+                f"lookup probing all buckets as the next epoch: "
+                f"{st['lookup_s_uncompacted']}s over "
+                f"{st['leaf_partitions_uncompacted']} listed leaf "
+                f"partitions uncompacted → {st['lookup_s_compacted']}s "
+                f"over {st['leaf_partitions_compacted']} after compaction "
+                f"(asserted ≤ the documented bound "
+                f"BAND_INDEX_BUCKETS×(BAND_COMPACT_EVERY+1) = "
+                f"{st['leaf_partition_bound']}; uncompacted listings grow "
+                f"O(epochs) forever, which is the quantity an always-on "
+                f"stream must bound)."))(r["streaming"]),
+            "",
+        ]),
         f"Worker stderr hygiene: {len(r['stderr_issues'])} issue(s)"
         + (": " + "; ".join(r["stderr_issues"]) if r["stderr_issues"] else
            " — all captured worker logs clean (bench sessions disable the "

@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 from . import golden, oracle
 from .config import DEFAULT, PipelineConfig
 
-VERSION = 7
+VERSION = 8
 FUNC_DIR = os.path.join(golden.DATA_ROOT, "func_correctness")
 #: the driver grades at sf0.01 — goldens are frozen against that tier
 SF_DIR = "/root/testdata/sf0.01"
@@ -182,6 +182,79 @@ def _expected_fingerprints(docs: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(recs, columns=["doc_id", "fp"])
 
 
+def _indep_ulaw_table() -> list[int]:
+    """INDEPENDENT G.711 mu-law decode table, derived from the spec's
+    segment form (mag = 4*((2*man + 33) << exp) - 132, the published
+    algebraic identity of the chord/step reconstruction) — shares no code
+    with kernels/codec.py's vectorized bit-ops implementation."""
+    tbl = []
+    for b in range(256):
+        u = (~b) & 0xFF
+        exp = (u >> 4) & 0x07
+        man = u & 0x0F
+        mag = 4 * ((2 * man + 33) << exp) - 132
+        tbl.append(-mag if (u & 0x80) else mag)
+    return tbl
+
+
+def _indep_alaw_table() -> list[int]:
+    """INDEPENDENT G.711 A-law decode table from the spec's segment
+    midpoint form ((2*man+1 | (2*man+33)<<(seg-1)) 12-bit magnitude,
+    rescaled <<4 to 16-bit; sign bit 1 = positive after the 0x55 toggle).
+    The mod-2^16 wrap mirrors int16 two's-complement for the
+    encoder-unreachable seg-7 codes so the table is total."""
+    tbl = []
+    for b in range(256):
+        u = b ^ 0x55
+        seg = (u >> 4) & 0x07
+        man = u & 0x0F
+        mag12 = (2 * man + 1) if seg == 0 else (2 * man + 33) << (seg - 1)
+        v = mag12 << 4
+        v = v if (u & 0x80) else -v
+        tbl.append(((v + 32768) % 65536) - 32768)
+    return tbl
+
+
+def _expected_stream_features(clips: pd.DataFrame) -> pd.DataFrame:
+    """INDEPENDENT golden for the streaming contract row (round-4 verdict
+    task #8): per-clip (n_samples, pcm_sha256) recomputed from scratch —
+    G.711 decode tables built scalar from the spec (above), float scaling
+    as the exact power-of-two division, sha256 over the float32 PCM
+    bytes. The shared codec kernel is cross-checked against this
+    authority per clip (the _naive_winnow pattern), so a bug in the
+    vectorized decode path cannot silently become 'truth'; the contract
+    row then proves the STREAM's accumulated state (exactly-once epochs,
+    no lost/duplicated clips) equals this from-scratch recompute."""
+    import hashlib
+
+    from .kernels import codec as K_codec   # cross-check only
+    ulaw = np.asarray(_indep_ulaw_table(), dtype=np.int16)
+    alaw = np.asarray(_indep_alaw_table(), dtype=np.int16)
+    recs = []
+    for cid, raw, codec in zip(clips["clip_id"], clips["bytes"],
+                               clips["codec"]):
+        raw = bytes(raw)
+        codec = str(codec)
+        if codec == "pcm_s16le":
+            i16 = np.frombuffer(raw, dtype="<i2")
+        elif codec == "ulaw":
+            i16 = ulaw[np.frombuffer(raw, dtype=np.uint8)]
+        elif codec == "alaw":
+            i16 = alaw[np.frombuffer(raw, dtype=np.uint8)]
+        else:
+            raise ValueError(f"unknown codec {codec!r}")
+        x = i16.astype(np.float32) / np.float32(32768.0)
+        kern = K_codec.decode_float(raw, codec)
+        assert np.array_equal(x, kern), (
+            f"codec kernel diverges from the independent G.711 decode "
+            f"on clip_id={cid} codec={codec}")
+        recs.append((cid, int(x.shape[0]),
+                     hashlib.sha256(np.ascontiguousarray(x).tobytes())
+                     .hexdigest()))
+    return pd.DataFrame(recs, columns=["clip_id", "n_samples",
+                                       "pcm_sha256"])
+
+
 def _expected_lang_id(docs: pd.DataFrame) -> pd.DataFrame:
     from .kernels import text as K_text
     # profile build mirror: per-(lang, trigram) document frequency,
@@ -333,6 +406,8 @@ def ensure_func_golden(cfg: PipelineConfig = DEFAULT) -> str:
     _write(_expected_image_stub(clips), "expected_image_stub.parquet")
     _write(_expected_resample_stats(clips),
            "expected_resample_stats.parquet")
+    _write(_expected_stream_features(clips),
+           "expected_stream_features.parquet")
     _write(_expected_simhash_pairs(docs, cfg),
            "expected_simhash_pairs.parquet")
     _write(_expected_fingerprints(docs), "expected_fingerprints.parquet")
