@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Same-window N→4N ladder harvest (round-5 verdict tasks #1/#2).
+
+Repeatedly measures an INTERLEAVED local[2]/local[8] pair of the same job
+on the same input — the only arrangement in which the efficiency ratio is
+a measurement of one host window rather than a quotient of two unrelated
+ones. Each sample:
+
+  * waits for a quiet 1-min loadavg (ambient interference is visible in
+    this VM's idle loadavg; a loud window cannot produce a valid pair),
+  * runs T2 and T8 back-to-back in fresh JVM subprocesses, alternating
+    the order between pairs so slow host drift cancels across pairs,
+  * asserts the result hash is identical across levels (bit-identical
+    outputs or the pair is discarded as broken, not noisy),
+  * appends the pair to bench_history.jsonl and prints the efficiency.
+
+Stops once `need` consecutive pairs clear the 0.8 bar, or iters run out.
+
+Usage:
+  python tools/harvest_ladder.py e2e_scale   [iters] [max_load] [need]
+  python tools/harvest_ladder.py docdedup    [iters] [max_load] [need]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+JOBS = {
+    # job key in bench_history.jsonl: (worker task, input path, hash key)
+    "e2e_scale": ("e2e", os.path.join(REPO, "data/audio_scale/"
+                                      "audio_clips.parquet"),
+                  "confirmed_hash"),
+    "docdedup": ("docdedup", os.path.join(REPO, "data/docs_hot_"
+                                          "1600000_5000/documents.parquet"),
+                 "pairs_hash"),
+}
+HIST = os.path.join(REPO, "bench_history.jsonl")
+HIST_JOB = {"e2e_scale": "e2e_scale", "docdedup": "docdedup_scale"}
+
+job = sys.argv[1] if len(sys.argv) > 1 else "e2e_scale"
+iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+max_load = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
+need = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+QUIET_WAIT_MAX_S = 900.0
+
+what, path, hkey = JOBS[job]
+
+
+def wait_quiet(budget_s: float) -> float:
+    t0 = time.time()
+    while time.time() - t0 < budget_s:
+        load1 = os.getloadavg()[0]
+        if load1 <= max_load:
+            return load1
+        time.sleep(30)
+    return os.getloadavg()[0]
+
+
+def run_level(cpus: int) -> dict | None:
+    out = f"/tmp/ladder_{job}_{cpus}.json"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--worker",
+         str(cpus), what, path, out],
+        cwd=REPO, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    if r.returncode != 0:
+        print(f"  worker local[{cpus}] failed rc={r.returncode}",
+              flush=True)
+        return None
+    with open(out) as f:
+        return json.load(f)
+
+
+streak = 0
+for i in range(iters):
+    load1 = wait_quiet(QUIET_WAIT_MAX_S)
+    order = (2, 8) if i % 2 == 0 else (8, 2)
+    res: dict[int, dict] = {}
+    t0 = time.time()
+    ok = True
+    for cpus in order:
+        r = run_level(cpus)
+        if r is None:
+            ok = False
+            break
+        res[cpus] = r
+    if not ok:
+        time.sleep(60)
+        continue
+    assert res[2][hkey] == res[8][hkey], (res[2][hkey], res[8][hkey])
+    eff = (res[2]["wall_s"] / res[8]["wall_s"]) / 4
+    with open(HIST, "a") as f:
+        f.write(json.dumps({
+            "job": HIST_JOB[job],
+            "wall_s": {"2": round(res[2]["wall_s"], 2),
+                       "8": round(res[8]["wall_s"], 2)},
+            "pair": True, "order": list(order),
+            "load1_at_start": round(load1, 1),
+            "eff_2to8": round(eff, 3)}) + "\n")
+    streak = streak + 1 if eff >= 0.8 else 0
+    print(f"[{i}] {job} T2={res[2]['wall_s']:.1f}s T8="
+          f"{res[8]['wall_s']:.1f}s eff={eff:.3f} load1={load1:.1f} "
+          f"order={order} streak={streak} "
+          f"(pair took {time.time() - t0:.0f}s) "
+          f"stages2={res[2].get('stages')} stages8={res[8].get('stages')}",
+          flush=True)
+    if streak >= need:
+        print(f"done: {need} consecutive pairs >= 0.8", flush=True)
+        break
+    time.sleep(60)
