@@ -37,6 +37,19 @@ class TestCodec:
         assert codec.n_samples(100, "pcm_s16le") == 50
         assert codec.n_samples(100, "ulaw") == 100
 
+    def test_independent_g711_tables_match_kernel_luts(self):
+        """The from-scratch spec-derived decode tables that back the
+        streaming contract golden (golden_funcs._indep_*_table) must
+        equal the kernel LUTs on ALL 256 codes — including the
+        encoder-unreachable A-law seg-7 codes, where the independent
+        table's mod-2^16 wrap mirrors the kernel's int16 cast."""
+        from cdstore_spark.golden_funcs import (_indep_alaw_table,
+                                                _indep_ulaw_table)
+        assert np.array_equal(
+            np.asarray(_indep_ulaw_table(), dtype=np.int16), codec.ULAW_LUT)
+        assert np.array_equal(
+            np.asarray(_indep_alaw_table(), dtype=np.int16), codec.ALAW_LUT)
+
 
 class TestHashing:
     def test_span_hash_shift_invariant(self):
