@@ -118,7 +118,8 @@ def worker(cpus: int, what: str, path: str, out: str) -> None:
         t1 = time.time()
         with cache_scope():   # releases verify's six side tables
             conf = S_verify.verify_candidates(cand, feats, CFG,
-                                              n_feats=n).persist()
+                                              n_feats=n,
+                                              n_cand=n_cand).persist()
             n_conf = conf.count()
         stages["verify"] = round(time.time() - t1, 2)
         t1 = time.time()

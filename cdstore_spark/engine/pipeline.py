@@ -81,8 +81,10 @@ def run_pipeline(spark: SparkSession, clips_path: str, workdir: str,
 
     # feature-row count for verify's broadcast-vs-shuffle decision comes
     # free from the stage manifest (per-chunk lineage row counts) — no
-    # count() action
+    # count() action; candidate count likewise (a sound upper bound for
+    # every per-chunk verify invocation's sparse-corpus fused gate)
     n_feats = sum(e["rows"] for e in ck_feat.lineage())
+    n_cand_total = sum(e["rows"] for e in ck_cand.lineage())
 
     ck_ver = StageCheckpoint(workdir, "s7_confirmed", n_chunks, fp)
     # chunks are disjoint hash ranges of the pair key — run them
@@ -97,7 +99,8 @@ def run_pipeline(spark: SparkSession, clips_path: str, workdir: str,
         spark,
         lambda i: S_verify.verify_candidates(
             cand.where(chunk_filter("a", n_chunks, i)), feats, cfg,
-            n_feats=n_feats, budget_shares=ver_workers),
+            n_feats=n_feats, budget_shares=ver_workers,
+            n_cand=n_cand_total),
         hash_cols_for_lineage=["a", "b", "audio_ok", "text_ok"],
         max_workers=ver_workers)
 

@@ -358,8 +358,8 @@ _PAYLOAD_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
 def _fused_verify(cand: DataFrame, feats: DataFrame,
                   cfg: PipelineConfig,
-                  payload_budget: int = _PAYLOAD_BROADCAST_MAX_BYTES
-                  ) -> DataFrame | None:
+                  payload_budget: int = _PAYLOAD_BROADCAST_MAX_BYTES,
+                  n_cand: int | None = None) -> DataFrame | None:
     """Size-gated fused verify: when the candidate-universe payloads fit
     the broadcast budget, verify runs as ONE fused stage — candidate scan
     → two broadcast joins → per-pair kernel — with no key-table shuffles,
@@ -370,29 +370,51 @@ def _fused_verify(cand: DataFrame, feats: DataFrame,
     now with content-pair memoization inside the kernel so the dispatch
     bound stays O(distinct content pairs) per partition.
 
-    Returns None when the payloads exceed the budget — the content-dedup
-    path (payloads shuffled once per distinct content, slim 16-byte keys
-    everywhere else) is the 100 TB shape.
+    The gate is decided WITHOUT touching the candidate table (round 5):
+
+      1. corpus-total gate — sum/max of the featurize-time pbytes column,
+         ONE slim-column aggregate over the cached features. When the
+         whole corpus's payloads fit the budget the universe trivially
+         does (universe ⊆ corpus), and the broadcasts build straight off
+         the cached features with no semi-join at all.
+      2. candidate-cardinality bound — universe ≤ 2·n_cand clips, so
+         2·n_cand·max(pbytes) is a SOUND upper bound on universe bytes
+         (max, not mean: the universe could be exactly the fattest
+         clips). Fires for sparse corpora at any scale: few candidates
+         over a huge corpus broadcast only the semi-joined universe.
+
+    Everything else returns None — the content-dedup path (payloads
+    shuffled once per distinct content, slim 16-byte keys everywhere
+    else) is the 100 TB shape, and it is also the better shape for the
+    excluded middle (dup-heavy corpora where many pairs concentrate on
+    few contents — exactly what content-dedup exploits). Two prior gate
+    designs are deliberately gone: materializing the universe payloads
+    checkpointed ~GBs at the 400k tier, and the exact pbytes estimate
+    (distinct over ~8M candidate keys + semi-join + collect) measured
+    ~60 s of serial wall at local[8]/400k just to learn 'over budget' —
+    a fixed cost that capped the N→4N ladder.
     """
-    need = (cand.select(F.col("a").alias("clip_id"))
-            .unionByName(cand.select(F.col("b").alias("clip_id")))
-            .distinct())
-    # the byte estimate reads ONLY the featurize-time pbytes column (one
-    # slim-column aggregate over the cached features) — the payloads
-    # themselves are never scanned, semi-joined or checkpointed unless
-    # the gate passes. The first version of this gate weighed the
-    # payloads by materializing them: at the 400k scale tier that
-    # checkpointed ~GBs just to learn the answer was "over budget".
-    est = (feats.select("clip_id", "pbytes")
-           .join(need, "clip_id", "leftsemi")
-           .agg(F.coalesce(F.sum("pbytes"), F.lit(0)).alias("bytes"))
-           .collect()[0]["bytes"])
-    if est > payload_budget:
+    stats = (feats.agg(
+        F.coalesce(F.sum("pbytes"), F.lit(0)).alias("total"),
+        F.coalesce(F.max("pbytes"), F.lit(0)).alias("mx"))
+        .collect()[0])
+    total, mx = int(stats["total"]), int(stats["mx"])
+    if total <= payload_budget:
+        # whole corpus fits: broadcast every clip's slim+payload row off
+        # the cached features — no candidate scan before the fused stage
+        fsub = feats.select("clip_id", "simhash_audio", "simhash_text",
+                            "vk", "tk", "vpack", "transcript")
+    elif n_cand is not None and 2 * n_cand * mx <= payload_budget:
+        need = (cand.select(F.col("a").alias("clip_id"))
+                .unionByName(cand.select(F.col("b").alias("clip_id"))))
+        # no distinct: duplicate keys don't change a left-semi join, and
+        # the distinct was a full shuffle of the candidate-key table
+        fsub = (feats.select("clip_id", "simhash_audio", "simhash_text",
+                             "vk", "tk", "vpack", "transcript")
+                .join(need, "clip_id", "leftsemi")
+                .localCheckpoint(eager=True))
+    else:
         return None
-    fsub = (feats.select("clip_id", "simhash_audio", "simhash_text",
-                         "vk", "tk", "vpack", "transcript")
-            .join(need, "clip_id", "leftsemi")
-            .localCheckpoint(eager=True))
     ren = {"simhash_audio": "sha", "simhash_text": "sht", "vk": "vk",
            "tk": "tk", "vpack": "vpack", "transcript": "transcript"}
     fa = F.broadcast(fsub.select(
@@ -413,13 +435,17 @@ def _fused_verify(cand: DataFrame, feats: DataFrame,
 def verify_candidates(cand: DataFrame, feats: DataFrame,
                       cfg: PipelineConfig = DEFAULT,
                       n_feats: int | None = None,
-                      budget_shares: int = 1) -> DataFrame:
+                      budget_shares: int = 1,
+                      n_cand: int | None = None) -> DataFrame:
     """Candidate pairs + features → confirmed pairs (audio_ok OR text_ok).
 
     `n_feats` (optional) is the known feature-row count, used only to pick
     broadcast vs shuffle for the slim side tables — callers that already
     know it (pipeline stage manifests record per-chunk row counts; bench
     counts the persisted features) pass it to skip a count() action here.
+    `n_cand` (optional) is the known candidate-pair count (or any upper
+    bound on it); it enables the fused path's sparse-corpus bound without
+    a count() action — see _fused_verify.
 
     `budget_shares`: number of verify invocations that may MATERIALIZE
     CONCURRENTLY (run_pipeline runs pair-key chunks in parallel threads).
@@ -447,7 +473,7 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     # estimate just to learn the payloads are far bigger still
     if n_feats * _SLIM_ROW_BYTES <= slim_budget:
         fused = _fused_verify(cand, feats, cfg,
-                              payload_budget=payload_budget)
+                              payload_budget=payload_budget, n_cand=n_cand)
         if fused is not None:
             return fused
     # slim per-clip side table: simhashes + content keys only, straight
