@@ -76,40 +76,58 @@ def run_level(cpus: int) -> dict | None:
         return json.load(f)
 
 
+# Ambient cleanliness matters asymmetrically on this VM: per-core clock
+# drops ~35% once more than ~8 cores are busy, so ambient load that
+# coexists harmlessly with the local[2] run pushes the local[8] run over
+# the clock knee — inflating T8 and DEFLATING measured efficiency. A pair
+# therefore gates on quiet loadavg before EACH level and records an
+# ambient estimate (load1 minus our own core count) after each level;
+# only pairs with every reading under the bar count toward the streak.
+AMBIENT_CLEAN = 1.5
+
 streak = 0
 for i in range(iters):
-    load1 = wait_quiet(QUIET_WAIT_MAX_S)
     order = (2, 8) if i % 2 == 0 else (8, 2)
     res: dict[int, dict] = {}
+    loads: dict[int, tuple[float, float]] = {}
     t0 = time.time()
     ok = True
     for cpus in order:
+        l_before = wait_quiet(QUIET_WAIT_MAX_S)
         r = run_level(cpus)
+        # 1-min loadavg right as the level ends ≈ our own core count +
+        # ambient; crude, but it flags the windows that poison T8
+        l_after = os.getloadavg()[0]
         if r is None:
             ok = False
             break
         res[cpus] = r
+        loads[cpus] = (l_before, max(0.0, l_after - cpus))
     if not ok:
         time.sleep(60)
         continue
     assert res[2][hkey] == res[8][hkey], (res[2][hkey], res[8][hkey])
     eff = (res[2]["wall_s"] / res[8]["wall_s"]) / 4
+    clean = all(lb <= max_load and amb <= AMBIENT_CLEAN
+                for lb, amb in loads.values())
     with open(HIST, "a") as f:
         f.write(json.dumps({
             "job": HIST_JOB[job],
             "wall_s": {"2": round(res[2]["wall_s"], 2),
                        "8": round(res[8]["wall_s"], 2)},
-            "pair": True, "order": list(order),
-            "load1_at_start": round(load1, 1),
+            "pair": True, "order": list(order), "clean": clean,
+            "loads": {str(c): [round(v, 1) for v in lv]
+                      for c, lv in loads.items()},
             "eff_2to8": round(eff, 3)}) + "\n")
-    streak = streak + 1 if eff >= 0.8 else 0
+    streak = streak + 1 if (eff >= 0.8 and clean) else \
+        (streak if eff >= 0.8 else 0)
     print(f"[{i}] {job} T2={res[2]['wall_s']:.1f}s T8="
-          f"{res[8]['wall_s']:.1f}s eff={eff:.3f} load1={load1:.1f} "
-          f"order={order} streak={streak} "
+          f"{res[8]['wall_s']:.1f}s eff={eff:.3f} clean={clean} "
+          f"loads={loads} order={order} streak={streak} "
           f"(pair took {time.time() - t0:.0f}s) "
           f"stages2={res[2].get('stages')} stages8={res[8].get('stages')}",
           flush=True)
     if streak >= need:
-        print(f"done: {need} consecutive pairs >= 0.8", flush=True)
+        print(f"done: {need} consecutive clean pairs >= 0.8", flush=True)
         break
     time.sleep(60)
