@@ -62,68 +62,75 @@ def wait_quiet(budget_s: float) -> float:
     return os.getloadavg()[0]
 
 
-def run_level(cpus: int) -> dict | None:
+def run_level(cpus: int) -> tuple[dict | None, float]:
+    """Run one level; poll 1-min loadavg every 20 s while it runs and
+    return (result, max ambient estimate) where ambient = load1 - cpus
+    (our own job's contribution). The DURING-run maximum is the
+    cleanliness metric — a gate read before the run sees a decayed
+    average and misses spikes that start seconds later."""
     out = f"/tmp/ladder_{job}_{cpus}.json"
-    r = subprocess.run(
+    p = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "bench.py"), "--worker",
          str(cpus), what, path, out],
         cwd=REPO, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    if r.returncode != 0:
-        print(f"  worker local[{cpus}] failed rc={r.returncode}",
+    amb_max = 0.0
+    while p.poll() is None:
+        amb_max = max(amb_max, os.getloadavg()[0] - cpus)
+        time.sleep(20)
+    if p.returncode != 0:
+        print(f"  worker local[{cpus}] failed rc={p.returncode}",
               flush=True)
-        return None
+        return None, amb_max
     with open(out) as f:
-        return json.load(f)
+        return json.load(f), amb_max
 
 
-# Ambient cleanliness matters asymmetrically on this VM: per-core clock
+# Ambient cleanliness matters ASYMMETRICALLY on this VM: per-core clock
 # drops ~35% once more than ~8 cores are busy, so ambient load that
 # coexists harmlessly with the local[2] run pushes the local[8] run over
-# the clock knee — inflating T8 and DEFLATING measured efficiency. A pair
-# therefore gates on quiet loadavg before EACH level and records an
-# ambient estimate (load1 minus our own core count) after each level;
-# only pairs with every reading under the bar count toward the streak.
+# the clock knee — inflating T8 and DEFLATING measured efficiency (an
+# interleaved pair whose T8 half caught a spike measured 0.625 with T2
+# at its all-time fastest). So: the noise-SENSITIVE level (8) always
+# runs FIRST, immediately after the quiet gate passes, and loadavg is
+# polled DURING each level (a pre-run gate reads a decayed average and
+# misses spikes that start seconds later). Pairs count toward the
+# streak only if both levels ran with max ambient <= AMBIENT_CLEAN.
 AMBIENT_CLEAN = 1.5
 
 streak = 0
 for i in range(iters):
-    order = (2, 8) if i % 2 == 0 else (8, 2)
     res: dict[int, dict] = {}
-    loads: dict[int, tuple[float, float]] = {}
+    amb: dict[int, float] = {}
     t0 = time.time()
     ok = True
-    for cpus in order:
-        l_before = wait_quiet(QUIET_WAIT_MAX_S)
-        r = run_level(cpus)
-        # 1-min loadavg right as the level ends ≈ our own core count +
-        # ambient; crude, but it flags the windows that poison T8
-        l_after = os.getloadavg()[0]
+    for cpus in (8, 2):
+        wait_quiet(QUIET_WAIT_MAX_S)
+        r, a = run_level(cpus)
         if r is None:
             ok = False
             break
         res[cpus] = r
-        loads[cpus] = (l_before, max(0.0, l_after - cpus))
+        amb[cpus] = a
     if not ok:
         time.sleep(60)
         continue
     assert res[2][hkey] == res[8][hkey], (res[2][hkey], res[8][hkey])
     eff = (res[2]["wall_s"] / res[8]["wall_s"]) / 4
-    clean = all(lb <= max_load and amb <= AMBIENT_CLEAN
-                for lb, amb in loads.values())
+    clean = all(a <= AMBIENT_CLEAN for a in amb.values())
     with open(HIST, "a") as f:
         f.write(json.dumps({
             "job": HIST_JOB[job],
             "wall_s": {"2": round(res[2]["wall_s"], 2),
                        "8": round(res[8]["wall_s"], 2)},
-            "pair": True, "order": list(order), "clean": clean,
-            "loads": {str(c): [round(v, 1) for v in lv]
-                      for c, lv in loads.items()},
+            "pair": True, "order": [8, 2], "clean": clean,
+            "ambient_max": {str(c): round(v, 1)
+                            for c, v in amb.items()},
             "eff_2to8": round(eff, 3)}) + "\n")
     streak = streak + 1 if (eff >= 0.8 and clean) else \
         (streak if eff >= 0.8 else 0)
     print(f"[{i}] {job} T2={res[2]['wall_s']:.1f}s T8="
           f"{res[8]['wall_s']:.1f}s eff={eff:.3f} clean={clean} "
-          f"loads={loads} order={order} streak={streak} "
+          f"ambient_max={amb} streak={streak} "
           f"(pair took {time.time() - t0:.0f}s) "
           f"stages2={res[2].get('stages')} stages8={res[8].get('stages')}",
           flush=True)
