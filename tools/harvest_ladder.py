@@ -62,13 +62,27 @@ def wait_quiet(budget_s: float) -> float:
     return os.getloadavg()[0]
 
 
-def run_level(cpus: int) -> tuple[dict | None, float]:
+def _busy_cores() -> tuple[float, float]:
+    """(busy, total) jiffies across all CPUs from /proc/stat."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [float(x) for x in parts[1:11]]
+    idle = vals[3] + vals[4]          # idle + iowait
+    return sum(vals) - idle, sum(vals)
+
+
+def run_level(cpus: int) -> tuple[dict | None, float, float]:
     """Run one level; poll 1-min loadavg every 20 s while it runs and
-    return (result, max ambient estimate) where ambient = load1 - cpus
-    (our own job's contribution). The DURING-run maximum is the
-    cleanliness metric — a gate read before the run sees a decayed
-    average and misses spikes that start seconds later."""
+    return (result, max ambient estimate, mean busy cores) where ambient
+    = load1 - cpus (our own job's contribution). The DURING-run maximum
+    is the cleanliness metric — a gate read before the run sees a decayed
+    average and misses spikes that start seconds later. Mean busy cores
+    (from /proc/stat deltas) records the hardware regime the level ran
+    in: a local[8] Spark job keeps JVM threads AND Python workers
+    runnable, so its busy-core count sits ABOVE 8 — further down this
+    VM's frequency-scaling curve than 'local[8]' suggests."""
     out = f"/tmp/ladder_{job}_{cpus}.json"
+    b0, t0j = _busy_cores()
     p = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "bench.py"), "--worker",
          str(cpus), what, path, out],
@@ -77,12 +91,15 @@ def run_level(cpus: int) -> tuple[dict | None, float]:
     while p.poll() is None:
         amb_max = max(amb_max, os.getloadavg()[0] - cpus)
         time.sleep(20)
+    b1, t1j = _busy_cores()
+    ncpu = os.cpu_count() or 32
+    busy = (b1 - b0) / max(t1j - t0j, 1e-9) * ncpu
     if p.returncode != 0:
         print(f"  worker local[{cpus}] failed rc={p.returncode}",
               flush=True)
-        return None, amb_max
+        return None, amb_max, busy
     with open(out) as f:
-        return json.load(f), amb_max
+        return json.load(f), amb_max, busy
 
 
 # Ambient cleanliness matters ASYMMETRICALLY on this VM: per-core clock
@@ -101,16 +118,18 @@ streak = 0
 for i in range(iters):
     res: dict[int, dict] = {}
     amb: dict[int, float] = {}
+    busy: dict[int, float] = {}
     t0 = time.time()
     ok = True
     for cpus in (8, 2):
         wait_quiet(QUIET_WAIT_MAX_S)
-        r, a = run_level(cpus)
+        r, a, bc = run_level(cpus)
         if r is None:
             ok = False
             break
         res[cpus] = r
         amb[cpus] = a
+        busy[cpus] = bc
     if not ok:
         time.sleep(60)
         continue
@@ -125,12 +144,14 @@ for i in range(iters):
             "pair": True, "order": [8, 2], "clean": clean,
             "ambient_max": {str(c): round(v, 1)
                             for c, v in amb.items()},
+            "busy_cores": {str(c): round(v, 1)
+                           for c, v in busy.items()},
             "eff_2to8": round(eff, 3)}) + "\n")
     streak = streak + 1 if (eff >= 0.8 and clean) else \
         (streak if eff >= 0.8 else 0)
     print(f"[{i}] {job} T2={res[2]['wall_s']:.1f}s T8="
           f"{res[8]['wall_s']:.1f}s eff={eff:.3f} clean={clean} "
-          f"ambient_max={amb} streak={streak} "
+          f"ambient_max={amb} busy={busy} streak={streak} "
           f"(pair took {time.time() - t0:.0f}s) "
           f"stages2={res[2].get('stages')} stages8={res[8].get('stages')}",
           flush=True)

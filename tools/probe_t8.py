@@ -21,7 +21,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 CPUS = int(os.environ.get("PROBE_CPUS", "8"))
+JOB = os.environ.get("PROBE_JOB", "e2e")  # e2e | docdedup
 CLIPS = os.path.join(REPO, "data/audio_scale/audio_clips.parquet")
+DOCS = os.path.join(REPO, "data/docs_hot_1600000_5000/documents.parquet")
 
 
 def iso_ms(s: str) -> float:
@@ -55,8 +57,40 @@ def main() -> None:
 
     (spark.range(CPUS * 4).repartition(CPUS)
      .mapInPandas(_warm, "id long").count())
+    # mirror bench.py's analyzer/AQE warmup so probe walls are comparable
+    from cdstore_spark.engine.bucket_pairs import capped_bucket_pairs
+    tiny = spark.createDataFrame([(1, 0), (1, 1), (2, 0), (2, 1), (2, 2)],
+                                 "k int, m int")
+    capped_bucket_pairs(tiny, ["k"], "m", cap=2, soft=2).count()
 
     marks = {}
+    if JOB == "docdedup":
+        from pyspark.sql import functions as F
+        from cdstore_spark.functions import textops as X
+        docs = spark.read.parquet(DOCS)
+        t0 = time.time()
+        with cache_scope():
+            pairs = X.minhash_lsh_pairs(docs).persist()
+            n_cand = pairs.count()
+        marks["pairs"] = (t0, time.time())
+        t1 = time.time()
+        clus = S_clust.connected_components(
+            pairs.select("a", "b"),
+            docs.select(F.col("doc_id").alias("clip_id")),
+            edges_distinct=True)
+        n_clus = clus.count()
+        marks["cluster"] = (t1, time.time())
+        n = n_conf = 0
+        wall = time.time() - t0
+    else:
+        n, n_cand, n_conf, n_clus, wall = _audio_e2e(
+            spark, CFG, S_feat, S_cand, S_verify, S_clust, cache_scope,
+            marks)
+    _report(spark, marks, n, n_cand, n_conf, n_clus, wall)
+
+
+def _audio_e2e(spark, CFG, S_feat, S_cand, S_verify, S_clust, cache_scope,
+               marks):
     t0 = time.time()
     feats = S_feat.featurize_from_parquet(spark, CLIPS, CFG).persist()
     n = feats.count()
@@ -81,7 +115,10 @@ def main() -> None:
     n_clus = clus.count()
     marks["cluster"] = (t1, time.time())
     wall = time.time() - t0
+    return n, n_cand, n_conf, n_clus, wall
 
+
+def _report(spark, marks, n, n_cand, n_conf, n_clus, wall):
     base = "http://localhost:4099/api/v1"
     apps = json.load(urllib.request.urlopen(f"{base}/applications"))
     app_id = apps[0]["id"]
@@ -95,6 +132,20 @@ def main() -> None:
                     iso_ms(j["completionTime"]),
                     j["jobId"], (j.get("name") or "")[:90]))
     ivs.sort()
+    # Spark stages with task times: parallelism holes are stages whose
+    # wall is large but task-seconds << CPUS * wall (few/skewed tasks).
+    stages = json.load(urllib.request.urlopen(
+        f"{base}/applications/{app_id}/stages?status=complete"))
+    st_ivs = []
+    for s in stages:
+        if "firstTaskLaunchedTime" not in s or "completionTime" not in s:
+            continue
+        a = iso_ms(s["firstTaskLaunchedTime"])
+        b = iso_ms(s["completionTime"])
+        st_ivs.append((a, b, s.get("numCompleteTasks", 0),
+                       (s.get("executorRunTime", 0) or 0) / 1000.0,
+                       s["stageId"], (s.get("name") or "")[:70]))
+    st_ivs.sort()
 
     print(json.dumps({"rows": n, "cand": n_cand, "conf": n_conf,
                       "clusters": n_clus, "wall_s": round(wall, 1)}))
@@ -124,6 +175,23 @@ def main() -> None:
             gaps.append((b - prev, prev - a, "(end of stage)"))
         for g, off, nm in sorted(gaps, reverse=True)[:8]:
             print(f"   gap {g:6.1f}s at +{off:7.1f}s before job: {nm}")
+        # utilization: task-seconds within this pipeline stage vs CPUS*wall
+        ssub = [s4 for s4 in st_ivs if s4[0] >= a - 0.5 and s4[1] <= b + 0.5]
+        task_s = sum(s4[3] for s4 in ssub)
+        print(f"   util: task-s {task_s:8.1f} / ({CPUS}x{stage_wall:.1f}) "
+              f"= {task_s / (CPUS * stage_wall):.2f}")
+        # low-parallelism holes: rank Spark stages by wall * (1 - util)
+        holes = []
+        for s4 in ssub:
+            sw = s4[1] - s4[0]
+            if sw < 1.0:
+                continue
+            sutil = min(1.0, s4[3] / (CPUS * sw))
+            holes.append((sw * (1 - sutil), sw, sutil, s4[2], s4[4], s4[5]))
+        for waste, sw, sutil, ntask, sid, nm in sorted(holes,
+                                                       reverse=True)[:8]:
+            print(f"   hole {waste:6.1f}s  stage {sid:4d} wall {sw:6.1f}s "
+                  f"util {sutil:.2f} tasks {ntask:4d}  {nm}")
     spark.stop()
 
 
