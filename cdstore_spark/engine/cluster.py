@@ -233,15 +233,21 @@ def _local_finish(edges: DataFrame) -> DataFrame:
     from ..kernels import unionfind as K_uf
 
     spark = edges.sparkSession
-    rows = edges.collect()
+    # toPandas, not collect(): one Arrow transfer instead of materializing
+    # up to 2^18 pickled Row objects driver-side. tolist() hands the
+    # dict-based kernel plain str/int keys.
+    pdf_e = edges.toPandas()
+    us = pdf_e.iloc[:, 0].tolist()
+    vs = pdf_e.iloc[:, 1].tolist()
     uf = K_uf.UnionFind()
-    for r in rows:
-        uf.union(r[0], r[1])
+    for u, v in zip(us, vs):
+        uf.union(u, v)
     out = {}
-    for r in rows:
-        for x in (r[0], r[1]):
-            if x not in out:
-                out[x] = uf.find(x)
+    for u, v in zip(us, vs):
+        if u not in out:
+            out[u] = uf.find(u)
+        if v not in out:
+            out[v] = uf.find(v)
     pdf = pd.DataFrame({"clip_id": list(out.keys()),
                         "cluster_id": list(out.values())})
     # label type follows the node id type (audio clip_ids are strings, doc

@@ -40,11 +40,14 @@ def main() -> None:
     from cdstore_spark.engine.scope import cache_scope
     from cdstore_spark.engine.session import get_spark
 
-    spark = get_spark(f"probe-{CPUS}", parallelism=CPUS, extra_conf={
-        "spark.ui.enabled": "true",
-        "spark.ui.port": "4099",
-        "spark.cleaner.referenceTracking": "false",
-    })
+    shuf = os.environ.get("PROBE_SHUF")
+    spark = get_spark(f"probe-{CPUS}", parallelism=CPUS,
+                      shuffle_partitions=int(shuf) if shuf else None,
+                      extra_conf={
+                          "spark.ui.enabled": "true",
+                          "spark.ui.port": "4099",
+                          "spark.cleaner.referenceTracking": "false",
+                      })
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10000).selectExpr("sum(id)").collect()
 
