@@ -611,7 +611,10 @@ def _ladder_pairs_md() -> list[str]:
         "asserts the result hash identical across levels, and appends "
         "the pair here verbatim. `busy` is the measured mean busy-core "
         "count per level (/proc/stat) — read raw eff against the clock "
-        "curve above. `clean` marks pairs whose DURING-run ambient "
+        "curve above. `steal` is mean hypervisor-stolen cores during the "
+        "level (/proc/stat field 8) — co-tenant interference invisible "
+        "to loadavg; this VM has averaged ~0.65 stolen cores over its "
+        "uptime. `clean` marks pairs whose DURING-run ambient "
         "stayed ≤ 1.5 cores at both levels; loud pairs are retained "
         "(never cherry-picked out) but graded against their ambient. "
         "Capability ratios in the tables above divide minima from "
@@ -622,12 +625,14 @@ def _ladder_pairs_md() -> list[str]:
         out.append(f"`{jb}` pairs, in recorded order:")
         out.append("")
         out.append("| T2 wall | T8 wall | eff 2→8 | order | clean | "
-                   "ambient max (8/2) | busy cores (8/2) |")
-        out.append("| --- | --- | --- | --- | --- | --- | --- |")
+                   "ambient max (8/2) | busy cores (8/2) | "
+                   "steal cores (8/2) |")
+        out.append("| --- | --- | --- | --- | --- | --- | --- | --- |")
         for rec in recs:
             w = rec["wall_s"]
             amb = rec.get("ambient_max") or {}
             busy = rec.get("busy_cores") or {}
+            steal = rec.get("steal_cores") or {}
             order = ",".join(str(x) for x in rec.get("order", []))
 
             def _fmt(d):
@@ -637,7 +642,7 @@ def _ladder_pairs_md() -> list[str]:
                 f"| {w['2']}s | {w['8']}s | **{rec['eff_2to8']}** | "
                 f"{order or '—'} | "
                 f"{'yes' if rec.get('clean') else 'no'} | "
-                f"{_fmt(amb)} | {_fmt(busy)} |")
+                f"{_fmt(amb)} | {_fmt(busy)} | {_fmt(steal)} |")
         out.append("")
     return out
 

@@ -62,13 +62,16 @@ def wait_quiet(budget_s: float) -> float:
     return os.getloadavg()[0]
 
 
-def _busy_cores() -> tuple[float, float]:
-    """(busy, total) jiffies across all CPUs from /proc/stat."""
+def _busy_cores() -> tuple[float, float, float]:
+    """(busy, total, steal) jiffies across all CPUs from /proc/stat.
+    steal is the hypervisor-co-tenant interference loadavg cannot see —
+    this VM has averaged ~0.65 stolen cores over its uptime, spiking
+    during exactly the windows that inflate identical-config runs."""
     with open("/proc/stat") as f:
         parts = f.readline().split()
     vals = [float(x) for x in parts[1:11]]
     idle = vals[3] + vals[4]          # idle + iowait
-    return sum(vals) - idle, sum(vals)
+    return sum(vals) - idle, sum(vals), vals[7]
 
 
 def run_level(cpus: int) -> tuple[dict | None, float, float]:
@@ -82,7 +85,7 @@ def run_level(cpus: int) -> tuple[dict | None, float, float]:
     runnable, so its busy-core count sits ABOVE 8 — further down this
     VM's frequency-scaling curve than 'local[8]' suggests."""
     out = f"/tmp/ladder_{job}_{cpus}.json"
-    b0, t0j = _busy_cores()
+    b0, t0j, s0 = _busy_cores()
     p = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "bench.py"), "--worker",
          str(cpus), what, path, out],
@@ -91,15 +94,17 @@ def run_level(cpus: int) -> tuple[dict | None, float, float]:
     while p.poll() is None:
         amb_max = max(amb_max, os.getloadavg()[0] - cpus)
         time.sleep(20)
-    b1, t1j = _busy_cores()
+    b1, t1j, s1 = _busy_cores()
     ncpu = os.cpu_count() or 32
-    busy = (b1 - b0) / max(t1j - t0j, 1e-9) * ncpu
+    denom = max(t1j - t0j, 1e-9)
+    busy = (b1 - b0) / denom * ncpu
+    steal = (s1 - s0) / denom * ncpu
     if p.returncode != 0:
         print(f"  worker local[{cpus}] failed rc={p.returncode}",
               flush=True)
-        return None, amb_max, busy
+        return None, amb_max, busy, steal
     with open(out) as f:
-        return json.load(f), amb_max, busy
+        return json.load(f), amb_max, busy, steal
 
 
 # Ambient cleanliness matters ASYMMETRICALLY on this VM: per-core clock
@@ -119,17 +124,19 @@ for i in range(iters):
     res: dict[int, dict] = {}
     amb: dict[int, float] = {}
     busy: dict[int, float] = {}
+    steal: dict[int, float] = {}
     t0 = time.time()
     ok = True
     for cpus in (8, 2):
         wait_quiet(QUIET_WAIT_MAX_S)
-        r, a, bc = run_level(cpus)
+        r, a, bc, st = run_level(cpus)
         if r is None:
             ok = False
             break
         res[cpus] = r
         amb[cpus] = a
         busy[cpus] = bc
+        steal[cpus] = st
     if not ok:
         time.sleep(60)
         continue
@@ -146,12 +153,14 @@ for i in range(iters):
                             for c, v in amb.items()},
             "busy_cores": {str(c): round(v, 1)
                            for c, v in busy.items()},
+            "steal_cores": {str(c): round(v, 2)
+                            for c, v in steal.items()},
             "eff_2to8": round(eff, 3)}) + "\n")
     streak = streak + 1 if (eff >= 0.8 and clean) else \
         (streak if eff >= 0.8 else 0)
     print(f"[{i}] {job} T2={res[2]['wall_s']:.1f}s T8="
           f"{res[8]['wall_s']:.1f}s eff={eff:.3f} clean={clean} "
-          f"ambient_max={amb} busy={busy} streak={streak} "
+          f"ambient_max={amb} busy={busy} steal={steal} streak={streak} "
           f"(pair took {time.time() - t0:.0f}s) "
           f"stages2={res[2].get('stages')} stages8={res[8].get('stages')}",
           flush=True)
