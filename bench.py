@@ -485,7 +485,7 @@ def main() -> None:
     doc_n = 16 * hot_n
     doc_path = ensure_hot_docs(doc_n, hot_m)
     per, samples = {}, {}
-    for cpus in doc_levels:
+    for cpus in (8, 2):    # noise-sensitive level first (harvester protocol)
         print(f"bench: scaling docdedup ({doc_n} docs) at "
               f"local[{cpus}] ...", file=sys.stderr)
         r = _run_level(cpus, "docdedup", doc_path)
@@ -530,7 +530,10 @@ def main() -> None:
         # limited, BENCH.md) from engine behavior at the big corpus
         s_levels = (2, 8, 32)
         per, samples = {}, {}
-        for cpus in s_levels:
+        # run the noise-SENSITIVE local[8] level first (harvester
+        # protocol, tools/harvest_ladder.py): ambient that coexists
+        # harmlessly with local[2] pushes local[8] over the clock knee
+        for cpus in (8, 2, 32):
             print(f"bench: scale-tier e2e ({scale_n} clips) at "
                   f"local[{cpus}] ...", file=sys.stderr)
             r = _run_level(cpus, "e2e", scale_clips)
