@@ -80,6 +80,36 @@ def capped_bucket_pairs(rows: DataFrame, key: list[str], member: str,
              .select(*key, "p.a", "p.b")
              .where(F.col("a") != F.col("b")))
 
+    # Measure the skew tail before building its plan (round 6): ONE slim
+    # aggregate over the cached bucket table computes the hot-bucket row
+    # count and the EXACT pair count the triangle+chain layers will emit
+    # (q full sub-buckets of cap members + an r-member remainder + the
+    # representative chain). Two uses:
+    #   * hot_rows == 0 — the overwhelmingly common case at bench tier
+    #     and in streaming micro-batches — skips the triangle join and
+    #     chain entirely (3 shuffle stages + a pinned-width exchange that
+    #     AQE may not coalesce, paid per query even when the hot side is
+    #     EMPTY: measured 1.2-1.6x on the bench-tier LSH queries);
+    #   * n_part for the triangle join scales with the measured pair
+    #     output instead of a constant defaultParallelism*4 — a constant
+    #     is too BIG for small hot sets (128 near-empty tasks) and too
+    #     SMALL at 100x scale (the round-5 straggler incident had 2.27M
+    #     pairs/task at width 128).
+    # The aggregate reads the persisted grp, which every downstream branch
+    # was about to materialize anyway — the cost is one job of scheduling.
+    hot = (grp.select(F.size("members").cast("long").alias("m"))
+           .where(F.col("m") > soft)
+           .agg(F.coalesce(F.sum("m"), F.lit(0)).alias("rows"),
+                F.coalesce(F.sum(
+                    F.floor(F.col("m") / cap) * (cap * (cap - 1) // 2)
+                    + F.floor((F.col("m") % cap) * ((F.col("m") % cap) - 1)
+                              / 2)
+                    + F.ceil(F.col("m") / cap) - 1), F.lit(0))
+                .alias("pairs"))
+           .collect()[0])
+    if int(hot["rows"]) == 0:
+        return small
+
     # layer 1 (buckets above soft only): sub-bucket split (linear skew
     # bound) — sub index + size. These rows are the skew tail, so the
     # four consumers below each re-filter the cached grp cheaply.
@@ -120,7 +150,18 @@ def capped_bucket_pairs(rows: DataFrame, key: list[str], member: str,
     # mapInPandas coalescing pitfall verify.py guards against. The
     # repartition is free: the join was going to shuffle both sides on
     # exactly this key anyway.
-    n_part = rows.sparkSession.sparkContext.defaultParallelism * 4
+    #
+    # The count is SIZE-AWARE (round 6): one partition per ~100k measured
+    # output pairs, clamped to [defaultParallelism, defaultParallelism*4]
+    # — the round-5 constant (4x cores) forced 128 near-empty tasks onto
+    # bench-tier hot sets of a few hundred k pairs, and would be far too
+    # narrow at 100x scale. The clamp floor keeps every core busy; the
+    # ceiling bounds scheduling cost (at genuinely larger pair counts the
+    # per-task share grows linearly, which is the job getting bigger, not
+    # skew — work per (key, sub, i, j) group is bounded by soft² pairs, so
+    # groups spread evenly at any width).
+    par = rows.sparkSession.sparkContext.defaultParallelism
+    n_part = min(par * 4, max(par, -(-int(hot["pairs"]) // 100_000)))
     raw_pairs = (left.repartition(n_part, *join_key)
                  .join(right.repartition(n_part, *join_key),
                        on=join_key, how="inner")

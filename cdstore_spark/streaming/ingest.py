@@ -293,9 +293,13 @@ def incremental_dedup_ingest(spark: SparkSession, input_dir: str,
                 # than silently dropping cross-epoch matches.
                 old_bands = band_index_lookup(spark_l, band_dir,
                                               int(epoch_id), bps)
-                have_old = (old_bands is not None
-                            and len(old_bands.take(1)) > 0)
-                if have_old:
+                if old_bands is not None:
+                    # no take(1) emptiness probe (round 6): the lookup is
+                    # None STRUCTURALLY when no prior-epoch layer exists;
+                    # when layers exist but hold no colliding rows the
+                    # join below is simply empty — the probe was one extra
+                    # driver-blocking job per epoch that read the same
+                    # partitions the join reads anyway.
                     key = ["channel", "band_idx", "band_hash"]
                     # new-vs-old: inner join on band key (index lookup);
                     # new-vs-new: within-batch pairs via the batch engine
@@ -305,31 +309,65 @@ def incremental_dedup_ingest(spark: SparkSession, input_dir: str,
                                      .alias("a"),
                                      F.greatest("n.clip_id", "o.clip_id")
                                      .alias("b"))
-                             .where(F.col("a") != F.col("b")))
+                             .where(F.col("a") != F.col("b"))
+                             # dedup CROSS alone: a pair can recur across
+                             # colliding bands, but never overlap `within`
+                             # (each clip belongs to exactly one epoch, so
+                             # a cross pair always spans epochs) — and
+                             # `within` is already distinct (the candidate
+                             # enumerator groupBys on the pair). Round 6:
+                             # the union-wide distinct re-shuffled the
+                             # within pairs for nothing.
+                             .distinct())
             within, _ = S_cand.candidate_pairs(batch_df, cfg)
             pairs = within.select("a", "b")
             if cross is not None:
-                pairs = pairs.unionByName(cross).distinct()
-            # idempotent: overwrite THIS epoch's partition only — a retry
-            # (crash between writes, or before the streaming commit)
-            # replaces its own rows instead of duplicating them
-            (pairs.withColumn("epoch", F.lit(int(epoch_id)))
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("epoch").parquet(pair_dir))
-            # repartition by bp → exactly one index file per (epoch, bp)
-            # partition per batch, instead of shuffle-partition-many tiny
-            # files (small-file fragmentation is what kills index lookups
-            # at scale)
-            (new_bands.withColumn("epoch", F.lit(int(epoch_id)))
-             .repartition("bp")
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("epoch", "bp").parquet(band_dir))
-            (batch_df.withColumn("epoch", F.lit(int(epoch_id)))
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("epoch").parquet(feat_dir))
+                pairs = pairs.unionByName(cross)
+
+            # The three epoch writes are independent of each other (pair
+            # discovery, band index, feature store — disjoint directories,
+            # all idempotent dynamic epoch-partition overwrites, inputs
+            # persisted above), so they run as concurrent jobs from a tiny
+            # thread pool (guide §2.6): each write's straggler tail
+            # back-fills with the next write's tasks instead of leaving
+            # the executor idle — per-epoch fixed cost is the wall the
+            # ingest rate divides by. A failure in any write must still
+            # fail the batch (streaming retries it): pool.map re-raises.
+            def _write_pairs() -> None:
+                # idempotent: overwrite THIS epoch's partition only — a
+                # retry (crash between writes, or before the streaming
+                # commit) replaces its own rows instead of duplicating
+                (pairs.withColumn("epoch", F.lit(int(epoch_id)))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("epoch").parquet(pair_dir))
+
+            def _write_bands() -> None:
+                # repartition by bp → exactly one index file per (epoch,
+                # bp) partition per batch, instead of shuffle-partition-
+                # many tiny files (small-file fragmentation is what kills
+                # index lookups at scale)
+                (new_bands.withColumn("epoch", F.lit(int(epoch_id)))
+                 .repartition("bp")
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("epoch", "bp").parquet(band_dir))
+
+            def _write_feats() -> None:
+                (batch_df.withColumn("epoch", F.lit(int(epoch_id)))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("epoch").parquet(feat_dir))
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark import inheritable_thread_target
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futs = [pool.submit(inheritable_thread_target(fn))
+                        for fn in (_write_pairs, _write_bands,
+                                   _write_feats)]
+                for f in futs:
+                    f.result()   # re-raise the first failure
             # long-horizon index hygiene: once enough epoch partitions
             # pile up above the newest base, fold all COMMITTED epochs
             # (< epoch_id — this epoch is still uncommitted and must stay
