@@ -45,16 +45,35 @@ from .scope import scoped_persist
 
 
 def capped_bucket_pairs(rows: DataFrame, key: list[str], member: str,
-                        cap: int, soft: int) -> DataFrame:
-    """(key..., member) rows → (key..., a, b) canonical candidate pairs.
+                        cap: int, soft: int,
+                        dedup_key: list[str] | None = None) -> DataFrame:
+    """(key..., member) rows → (out_key..., a, b) canonical candidate
+    pairs, where out_key is `dedup_key` when given, else `key`.
 
     `member` may be an atomic orderable column or a struct whose FIRST
     field is a unique sort key — sort_array / least / greatest order
     structs lexicographically by leading field, so enumeration matches
     the single-node mirrors (oracle.candidate_pairs_from_feats) that
     sort members the same way. Column names `members cnt rn rn0 sub
-    sub_rn sub_size g blk i j a b` are reserved for internal use and
+    sub_rn sub_size g blk i j a b bk` are reserved for internal use and
     must not appear in `key`.
+
+    `dedup_key` (round 6): callers whose downstream collapses the key
+    columns anyway (the LSH paths all end in distinct/groupBy over the
+    pair) may pass the subset of `key` they actually distinguish —
+    usually [] or ["channel"]. HOT buckets with identical member sets
+    under the same dedup_key are then enumerated ONCE instead of once
+    per bucket: with 32 LSH bands, an m-member exact-duplicate group
+    fills one identical bucket PER BAND, and the triangle join emitted
+    the identical O(m·cap) pair set 32 times into the caller's distinct
+    (measured: 20M pre-distinct rows for the planted 5k hot group's
+    629,359 distinct pairs). Bucket identity for the join keys is the
+    MINIMUM original key tuple per member set — exact, no hashing — so
+    distinct member sets can never collide. The pair SET is unchanged
+    by construction; only multiplicities the caller was discarding go
+    away. Small buckets are not deduped (their in-place enumeration is
+    cheaper than a members-keyed shuffle), and the default (None) keeps
+    the full per-bucket output.
     """
     # persist(): up to five downstream branches (small-bucket in-place
     # enumeration, triangle left/right, rep chain rep0/reps) would
@@ -69,21 +88,35 @@ def capped_bucket_pairs(rows: DataFrame, key: list[str], member: str,
         .agg(F.sort_array(F.collect_list(member)).alias("members"))
         .where(F.size("members") > 1))
 
+    out_key = key if dedup_key is None else list(dedup_key)
+
     # small buckets (<= soft members): all pairs, generated JVM-side from
     # the sorted members array — no join, no extra shuffle. sort_array
     # ordering makes x < y structural, so (a, b) is already canonical.
     small = (grp.where(F.size("members") <= soft)
-             .select(*key, F.explode(F.expr(
+             .select(*out_key, F.explode(F.expr(
                  "flatten(transform(members, (x, i) -> "
                  "transform(slice(members, i + 2, size(members)), "
                  "y -> struct(x AS a, y AS b))))")).alias("p"))
-             .select(*key, "p.a", "p.b")
+             .select(*out_key, "p.a", "p.b")
              .where(F.col("a") != F.col("b")))
 
+    # hot-bucket source: above `soft`, optionally deduped by (dedup_key,
+    # member set) with the min original key tuple as the bucket identity
+    # `bk` for the triangle join keys (struct equality — exact).
+    if dedup_key is None:
+        hot_src = (grp.where(F.size("members") > soft)
+                   .select(*out_key, "members",
+                           F.struct(*key).alias("bk")))
+    else:
+        hot_src = (grp.where(F.size("members") > soft)
+                   .groupBy(*out_key, "members")
+                   .agg(F.min(F.struct(*key)).alias("bk")))
+
     # Measure the skew tail before building its plan (round 6): ONE slim
-    # aggregate over the cached bucket table computes the hot-bucket row
-    # count and the EXACT pair count the triangle+chain layers will emit
-    # (q full sub-buckets of cap members + an r-member remainder + the
+    # aggregate computes the (post-dedup) hot-bucket member count and the
+    # EXACT pair count the triangle+chain layers will emit (q full
+    # sub-buckets of cap members + an r-member remainder + the
     # representative chain). Two uses:
     #   * hot_rows == 0 — the overwhelmingly common case at bench tier
     #     and in streaming micro-batches — skips the triangle join and
@@ -96,9 +129,9 @@ def capped_bucket_pairs(rows: DataFrame, key: list[str], member: str,
     #     SMALL at 100x scale (the round-5 straggler incident had 2.27M
     #     pairs/task at width 128).
     # The aggregate reads the persisted grp, which every downstream branch
-    # was about to materialize anyway — the cost is one job of scheduling.
-    hot = (grp.select(F.size("members").cast("long").alias("m"))
-           .where(F.col("m") > soft)
+    # was about to materialize anyway — the cost is one job of scheduling
+    # (plus, under dedup_key, one small extra pass over the rare hot rows).
+    hot = (hot_src.select(F.size("members").cast("long").alias("m"))
            .agg(F.coalesce(F.sum("m"), F.lit(0)).alias("rows"),
                 F.coalesce(F.sum(
                     F.floor(F.col("m") / cap) * (cap * (cap - 1) // 2)
@@ -112,9 +145,10 @@ def capped_bucket_pairs(rows: DataFrame, key: list[str], member: str,
 
     # layer 1 (buckets above soft only): sub-bucket split (linear skew
     # bound) — sub index + size. These rows are the skew tail, so the
-    # four consumers below each re-filter the cached grp cheaply.
-    kept = (grp.where(F.size("members") > soft)
-            .select(*key, F.size("members").alias("cnt"),
+    # four consumers below each re-filter/recompute the slim hot source
+    # cheaply off the cached grp.
+    kept = (hot_src
+            .select(*out_key, "bk", F.size("members").alias("cnt"),
                     F.posexplode("members").alias("rn0", "m"))
             .withColumn("rn", F.col("rn0") + 1)
             .withColumn("sub", (F.col("rn0") / F.lit(cap)).cast("int"))
@@ -129,16 +163,20 @@ def capped_bucket_pairs(rows: DataFrame, key: list[str], member: str,
                .withColumn("g", F.ceil(F.col("sub_size")
                                        / F.lit(soft)).cast("int"))
                .withColumn("blk", (F.col("sub_rn") % F.col("g")).cast("int"))
-               .select(*key, "m", "sub", "g", "blk"))
+               .select(*out_key, "bk", "m", "sub", "g", "blk"))
     left = (blocked.withColumn("j", F.explode(F.sequence(F.col("blk"),
                                                          F.col("g") - 1)))
-            .select(*key, "sub", F.col("blk").alias("i"), "j",
+            .select(*out_key, "bk", "sub", F.col("blk").alias("i"), "j",
                     F.col("m").alias("a")))
+    # right side carries no out_key columns: bk determines them (bk is
+    # the bucket identity; under dedup_key the groupBy key functionally
+    # determines bk and vice versa), and duplicating them would clash in
+    # the join output
     right = (blocked.withColumn("i", F.explode(F.sequence(F.lit(0),
                                                           F.col("blk"))))
-             .select(*key, "sub", "i", F.col("blk").alias("j"),
+             .select("bk", "sub", "i", F.col("blk").alias("j"),
                      F.col("m").alias("b")))
-    join_key = key + ["sub", "i", "j"]
+    join_key = ["bk", "sub", "i", "j"]
     # Pin the join's partition count with an explicit repartition on the
     # join key (REPARTITION_BY_NUM — AQE honors user-numbered shuffles and
     # will not coalesce them). Without it, AQE's byte-based coalescing sees
@@ -158,7 +196,7 @@ def capped_bucket_pairs(rows: DataFrame, key: list[str], member: str,
     # narrow at 100x scale. The clamp floor keeps every core busy; the
     # ceiling bounds scheduling cost (at genuinely larger pair counts the
     # per-task share grows linearly, which is the job getting bigger, not
-    # skew — work per (key, sub, i, j) group is bounded by soft² pairs, so
+    # skew — work per (bk, sub, i, j) group is bounded by soft² pairs, so
     # groups spread evenly at any width).
     par = rows.sparkSession.sparkContext.defaultParallelism
     n_part = min(par * 4, max(par, -(-int(hot["pairs"]) // 100_000)))
@@ -166,17 +204,17 @@ def capped_bucket_pairs(rows: DataFrame, key: list[str], member: str,
                  .join(right.repartition(n_part, *join_key),
                        on=join_key, how="inner")
                  .where(F.col("a") != F.col("b"))
-                 .select(*key,
+                 .select(*out_key,
                          F.least("a", "b").alias("a"),
                          F.greatest("a", "b").alias("b")))
 
     # representative chain: first member of sub 0 ↔ first member of sub > 0
     rep0 = (kept.where(F.col("rn") == 1)
-            .select(*key, F.col("m").alias("ra")))
+            .select(*out_key, "bk", F.col("m").alias("ra")))
     reps = (kept.where((F.col("sub_rn") == 0) & (F.col("sub") > 0))
-            .select(*key, F.col("m").alias("rb")))
-    chain = (rep0.join(reps, on=key, how="inner")
-             .select(*key,
+            .select("bk", F.col("m").alias("rb")))
+    chain = (rep0.join(reps, on=["bk"], how="inner")
+             .select(*out_key,
                      F.least("ra", "rb").alias("a"),
                      F.greatest("ra", "rb").alias("b")))
 

@@ -44,7 +44,7 @@ def _dbg(label: str, t0: float) -> float:
     return t
 
 #: adaptive local-finish gate: once a round's output edge set is at most
-#: this many edges (~13 MB collected at ~50 B/edge), the remaining
+#: this many edges (~50 MB collected at ~50 B/edge), the remaining
 #: fixpoint rounds are pure driver-barrier latency on a graph that fits
 #: in a fixed driver budget — finish it with the oracle's union-find
 #: kernel and broadcast the labels back. At production scale the edge set
@@ -55,7 +55,14 @@ def _dbg(label: str, t0: float) -> float:
 #: 8,707 after ONE star round, then three more rounds (~2.7 s each,
 #: ~10 driver-scheduled query stages per round) change nothing but
 #: labels — the local finish replaces them with a ~0.3 MB collect.
-_LOCAL_FINISH_MAX_EDGES = 1 << 18
+#: Round 6 raised the gate 2^18 → 2^20: the single-node kernel runs
+#: union-find + labels over 555k edges in 0.88 s (measured), so the
+#: bench-tier confirmed set (568,883 edges) and the doc hot-group edge
+#: set (629,359) now skip the distributed large_star round entirely
+#: (~3.2 s at local[32], far more at local[2]); the Arrow collect of a
+#: full 2^20-edge set is ~50 MB against a 24 GB driver — still a fixed,
+#: scale-independent budget.
+_LOCAL_FINISH_MAX_EDGES = 1 << 20
 
 #: when the CURRENT edge set is within this factor of the local-finish
 #: gate, the round materializes its large_star half separately and checks
@@ -159,7 +166,17 @@ def connected_components(pairs: DataFrame, universe: DataFrame,
     # convergence = output edge set equals the INPUT's (fixpoint of
     # large_star∘small_star); seeding prev_sig with the initial edges'
     # signature detects it on the first stable iteration instead of
-    # paying one extra full round to see two identical outputs
+    # paying one extra full round to see two identical outputs. The seed
+    # gate check needs only the COUNT — the hash half of the signature is
+    # computed lazily on entry to the distributed loop, so a seed set
+    # already under the local-finish gate (bench-tier confirmed sets)
+    # skips that scan entirely.
+    n_seed = edges.count()
+    t0 = _dbg("seed count", t0)
+    if n_seed <= _LOCAL_FINISH_MAX_EDGES:
+        labels = _local_finish(edges)
+        t0 = _dbg("local finish", t0)
+        return _attach(universe, labels)
     prev_sig = _sig(edges)
     t0 = _dbg("seed sig", t0)
     prev = edges
@@ -213,6 +230,10 @@ def connected_components(pairs: DataFrame, universe: DataFrame,
     if labels is None:
         labels = prev.select(F.col("u").alias("clip_id"),
                              F.col("v").alias("cluster_id"))
+    return _attach(universe, labels)
+
+
+def _attach(universe: DataFrame, labels: DataFrame) -> DataFrame:
     return (universe.select("clip_id")
             .join(labels, "clip_id", "left")
             .select("clip_id",

@@ -100,11 +100,37 @@ def _pair_jaccard(cand: DataFrame, g: DataFrame,
     |cand| x grams-per-doc — never in the all-pairs gram join. This is
     the shared verification tail of both the prefix-filtered exact path
     and the MinHash-LSH path.
+
+    Work is deduplicated per distinct CONTENT pair (round 6, the same
+    idea as the audio verify stage): Jaccard is a pure function of the
+    two gram SETS, and dup-heavy corpora repeat the same set across many
+    pairs — the bench's planted 5k-member hot group yields 629,359
+    candidate pairs that are all ONE content pair. Each doc gets a
+    128-bit content key (md5 over its sorted gram hashes, derived from
+    `g` itself so every caller gets the dedup), the gram joins run on one
+    representative pair per distinct (ka, kb), and results join back to
+    the full pair list. Identical output: key-equal docs have equal gram
+    sets by construction, so every pair sharing (ka, kb) has the same
+    Jaccard.
     """
+    from ..engine.scope import scoped_persist
+    keys = g.groupBy("doc_id").agg(
+        F.md5(F.concat_ws(",", F.transform(
+            F.sort_array(F.collect_list("gh")),
+            lambda x: x.cast("string")))).alias("ck"))
+    kand = scoped_persist(
+        cand.join(keys.select(F.col("doc_id").alias("a"),
+                              F.col("ck").alias("ka")), "a")
+        .join(keys.select(F.col("doc_id").alias("b"),
+                          F.col("ck").alias("kb")), "b"))
+    rep = (kand.groupBy("ka", "kb")
+           .agg(F.min(F.struct("a", "b")).alias("r"))
+           .select(F.col("r.a").alias("a"), F.col("r.b").alias("b"),
+                   "ka", "kb"))
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     ga = g.select(F.col("doc_id").alias("a"), "gh")
     gb = g.select(F.col("doc_id").alias("b"), "gh")
-    inter = (cand.join(ga, "a")
+    inter = (rep.select("a", "b").join(ga, "a")
              .join(gb, ["b", "gh"])
              .groupBy("a", "b")
              .agg(F.count(F.lit(1)).alias("inter")))
@@ -112,11 +138,15 @@ def _pair_jaccard(cand: DataFrame, g: DataFrame,
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
     raw_j = (F.col("inter")
              / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-    return (inter.join(sa, "a").join(sb, "b")
-            .where(raw_j >= threshold)          # threshold on the raw value
-            .select("a", "b",
-                    (F.floor(raw_j * F.lit(1e6) + F.lit(0.5))
-                     / F.lit(1e6)).alias("jaccard")))
+    res = (inter.join(sa, "a").join(sb, "b")
+           .where(raw_j >= threshold)          # threshold on the raw value
+           .select("a", "b",
+                   (F.floor(raw_j * F.lit(1e6) + F.lit(0.5))
+                    / F.lit(1e6)).alias("jaccard")))
+    # representative results → every pair sharing the content-key pair
+    res_k = res.join(rep, ["a", "b"]).select("ka", "kb", "jaccard")
+    return (kand.join(res_k, ["ka", "kb"])
+            .select("a", "b", "jaccard"))
 
 
 def prefix_candidates(g: DataFrame, threshold: float = JACCARD_THRESHOLD
@@ -284,9 +314,14 @@ def minhash_lsh_pairs(df: DataFrame, cfg: PipelineConfig = DEFAULT,
     sigs = doc_signatures(df, cfg)
     bands = sigs.select("doc_id",
                         F.posexplode("bands").alias("band_idx", "bh"))
+    # dedup_key=[]: only (a, b) survives the distinct below, so hot
+    # buckets with identical member sets across the 32 bands (an exact-
+    # duplicate group lands its whole membership in one bucket PER band)
+    # are enumerated once, not 32 times
     cand = scoped_persist(
         capped_bucket_pairs(bands, ["band_idx", "bh"], "doc_id",
-                            cap=cfg.bucket_cap, soft=cfg.bucket_soft)
+                            cap=cfg.bucket_cap, soft=cfg.bucket_soft,
+                            dedup_key=[])
         .select("a", "b")
         .distinct())
     # exact Jaccard ONLY on the band-collision survivors (round 1 computed
@@ -330,7 +365,8 @@ def simhash_hamming_pairs(df: DataFrame, cfg: PipelineConfig = DEFAULT,
             .bitwiseAND(F.lit(0xFFFF)) for k in range(4)
         ])).alias("block_idx", "block_key"))
     cand = (capped_bucket_pairs(blocks, ["block_idx", "block_key"], "ms",
-                                cap=cfg.bucket_cap, soft=cfg.bucket_soft)
+                                cap=cfg.bucket_cap, soft=cfg.bucket_soft,
+                                dedup_key=[])
             .select(F.col("a.doc_id").alias("a"),
                     F.col("b.doc_id").alias("b"),
                     F.bit_count(F.col("a.simhash")
