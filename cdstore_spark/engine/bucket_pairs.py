@@ -101,47 +101,78 @@ def capped_bucket_pairs(rows: DataFrame, key: list[str], member: str,
              .select(*out_key, "p.a", "p.b")
              .where(F.col("a") != F.col("b")))
 
-    # hot-bucket source: above `soft`, optionally deduped by (dedup_key,
-    # member set) with the min original key tuple as the bucket identity
-    # `bk` for the triangle join keys (struct equality — exact).
-    if dedup_key is None:
-        hot_src = (grp.where(F.size("members") > soft)
-                   .select(*out_key, "members",
-                           F.struct(*key).alias("bk")))
-    else:
-        hot_src = (grp.where(F.size("members") > soft)
-                   .groupBy(*out_key, "members")
-                   .agg(F.min(F.struct(*key)).alias("bk")))
-
     # Measure the skew tail before building its plan (round 6): ONE slim
-    # aggregate computes the (post-dedup) hot-bucket member count and the
-    # EXACT pair count the triangle+chain layers will emit (q full
-    # sub-buckets of cap members + an r-member remainder + the
-    # representative chain). Two uses:
+    # aggregate over the cached bucket table computes the hot-bucket
+    # member count, the EXACT pair count the triangle+chain layers will
+    # emit (q full sub-buckets of cap members + an r-member remainder +
+    # the representative chain), the hot-bucket count, and — when
+    # dedup_key is given — the number of DISTINCT (dedup_key, member-set)
+    # groups, estimated via xxhash64 of the members array so the count
+    # shuffles 8-byte hashes, never the member arrays. Three uses:
     #   * hot_rows == 0 — the overwhelmingly common case at bench tier
     #     and in streaming micro-batches — skips the triangle join and
     #     chain entirely (3 shuffle stages + a pinned-width exchange that
     #     AQE may not coalesce, paid per query even when the hot side is
     #     EMPTY: measured 1.2-1.6x on the bench-tier LSH queries);
+    #   * the DECISION whether member-set dedup pays: the dedup is itself
+    #     a members-keyed shuffle of the hot rows, measured +3-4 s on the
+    #     candidates stage at the 400k audio tier where only 1.27x of
+    #     buckets collapse (3374 -> 1720), vs a 5 s win at the doc
+    #     hot-group tier where 32x collapse. Dedup runs only when at
+    #     least half the hot buckets would collapse (2*distinct <=
+    #     buckets). Hashing here only steers this performance decision —
+    #     bucket identity in the join keys stays the exact min key tuple,
+    #     so a hash collision can never change the pair set;
     #   * n_part for the triangle join scales with the measured pair
     #     output instead of a constant defaultParallelism*4 — a constant
     #     is too BIG for small hot sets (128 near-empty tasks) and too
     #     SMALL at 100x scale (the round-5 straggler incident had 2.27M
     #     pairs/task at width 128).
     # The aggregate reads the persisted grp, which every downstream branch
-    # was about to materialize anyway — the cost is one job of scheduling
-    # (plus, under dedup_key, one small extra pass over the rare hot rows).
-    hot = (hot_src.select(F.size("members").cast("long").alias("m"))
-           .agg(F.coalesce(F.sum("m"), F.lit(0)).alias("rows"),
-                F.coalesce(F.sum(
-                    F.floor(F.col("m") / cap) * (cap * (cap - 1) // 2)
-                    + F.floor((F.col("m") % cap) * ((F.col("m") % cap) - 1)
-                              / 2)
-                    + F.ceil(F.col("m") / cap) - 1), F.lit(0))
-                .alias("pairs"))
-           .collect()[0])
-    if int(hot["rows"]) == 0:
+    # was about to materialize anyway — the cost is one job of scheduling.
+    def _hot_stats(src: DataFrame):
+        return (src.select(F.size("members").cast("long").alias("m"))
+                .agg(F.coalesce(F.sum("m"), F.lit(0)).alias("rows"),
+                     F.coalesce(F.sum(
+                         F.floor(F.col("m") / cap) * (cap * (cap - 1) // 2)
+                         + F.floor((F.col("m") % cap)
+                                   * ((F.col("m") % cap) - 1) / 2)
+                         + F.ceil(F.col("m") / cap) - 1), F.lit(0))
+                     .alias("pairs"))
+                .collect()[0])
+
+    hot_grp = grp.where(F.size("members") > soft)
+    pre = (hot_grp.select(
+        F.size("members").cast("long").alias("m"),
+        F.xxhash64(*out_key, "members").alias("mh"))
+        .agg(F.coalesce(F.sum("m"), F.lit(0)).alias("rows"),
+             F.coalesce(F.sum(
+                 F.floor(F.col("m") / cap) * (cap * (cap - 1) // 2)
+                 + F.floor((F.col("m") % cap)
+                           * ((F.col("m") % cap) - 1) / 2)
+                 + F.ceil(F.col("m") / cap) - 1), F.lit(0))
+             .alias("pairs"),
+             F.count(F.lit(1)).alias("buckets"),
+             F.countDistinct("mh").alias("distinct_sets"))
+        .collect()[0])
+    if int(pre["rows"]) == 0:
         return small
+
+    # hot-bucket source: optionally deduped by (dedup_key, member set)
+    # with the min original key tuple as the bucket identity `bk` for the
+    # triangle join keys (struct equality — exact).
+    if (dedup_key is not None
+            and 2 * int(pre["distinct_sets"]) <= int(pre["buckets"])):
+        # persist: five consumers read hot_src (the post-dedup stats +
+        # kept's four branches); uncached, each would re-run the groupBy
+        hot_src = scoped_persist(
+            hot_grp.groupBy(*out_key, "members")
+            .agg(F.min(F.struct(*key)).alias("bk")))
+        hot = _hot_stats(hot_src)   # post-dedup pair count sizes n_part
+    else:
+        hot_src = hot_grp.select(*out_key, "members",
+                                 F.struct(*key).alias("bk"))
+        hot = pre
 
     # layer 1 (buckets above soft only): sub-bucket split (linear skew
     # bound) — sub index + size. These rows are the skew tail, so the
