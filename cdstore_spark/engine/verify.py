@@ -445,7 +445,14 @@ def verify_candidates(cand: DataFrame, feats: DataFrame,
     counts the persisted features) pass it to skip a count() action here.
     `n_cand` (optional) is the known candidate-pair count (or any upper
     bound on it); it enables the fused path's sparse-corpus bound without
-    a count() action — see _fused_verify.
+    a count() action — see _fused_verify. INVARIANT (soundness, not just
+    accuracy): n_cand must be an UPPER bound on the rows of the `cand`
+    argument actually passed — run_pipeline passes the whole-stage total
+    against per-chunk cand slices (sound: total ≥ any slice); a caller
+    passing a per-chunk count against an unchunked cand would overshoot
+    the broadcast budget with no runtime check. (The keyword is part of
+    the frozen bench.py call surface, hence documented rather than
+    renamed to n_cand_upper.)
 
     `budget_shares`: number of verify invocations that may MATERIALIZE
     CONCURRENTLY (run_pipeline runs pair-key chunks in parallel threads).

@@ -8,8 +8,11 @@ ones. Each sample:
 
   * waits for a quiet 1-min loadavg (ambient interference is visible in
     this VM's idle loadavg; a loud window cannot produce a valid pair),
-  * runs T2 and T8 back-to-back in fresh JVM subprocesses, alternating
-    the order between pairs so slow host drift cancels across pairs,
+  * runs T8 then T2 back-to-back in fresh JVM subprocesses — FIXED
+    order, noise-sensitive level first: T8 is the level whose wall a
+    loud window distorts most (it shares cores with ambient load the
+    soonest), so it runs while the just-verified quiet gate still holds;
+    the recorded order=[8,2] field documents this per pair,
   * asserts the result hash is identical across levels (bit-identical
     outputs or the pair is discarded as broken, not noisy),
   * appends the pair to bench_history.jsonl and prints the efficiency.
@@ -74,10 +77,11 @@ def _busy_cores() -> tuple[float, float, float]:
     return sum(vals) - idle, sum(vals), vals[7]
 
 
-def run_level(cpus: int) -> tuple[dict | None, float, float]:
+def run_level(cpus: int) -> tuple[dict | None, float, float, float]:
     """Run one level; poll 1-min loadavg every 20 s while it runs and
-    return (result, max ambient estimate, mean busy cores) where ambient
-    = load1 - cpus (our own job's contribution). The DURING-run maximum
+    return (result, max ambient estimate, mean busy cores, hypervisor
+    steal share) where ambient = load1 - cpus (our own job's
+    contribution). The DURING-run maximum
     is the cleanliness metric — a gate read before the run sees a decayed
     average and misses spikes that start seconds later. Mean busy cores
     (from /proc/stat deltas) records the hardware regime the level ran
