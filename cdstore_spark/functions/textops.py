@@ -114,38 +114,48 @@ def _pair_jaccard(cand: DataFrame, g: DataFrame,
     Jaccard.
     """
     from ..engine.scope import scoped_persist
-    keys = g.groupBy("doc_id").agg(
-        F.md5(F.concat_ws(",", F.transform(
-            F.sort_array(F.collect_list("gh")),
-            lambda x: x.cast("string")))).alias("ck"))
+    # ONE persisted per-doc aggregation yields BOTH the content key and
+    # the gram-set size (sz = size of the same collected array the key
+    # hashes — a separate count() agg was a second full pass over g, and
+    # the unpersisted key subtree was computed once per join alias). sz
+    # rides along with the key through kand/rep, so the two sizes joins
+    # the old shape paid at the end are gone too.
+    ks = scoped_persist(
+        g.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("gh")).alias("ghs"))
+        .select("doc_id",
+                F.md5(F.concat_ws(",", F.transform(
+                    "ghs", lambda x: x.cast("string")))).alias("ck"),
+                F.size("ghs").alias("sz")))
     kand = scoped_persist(
-        cand.join(keys.select(F.col("doc_id").alias("a"),
-                              F.col("ck").alias("ka")), "a")
-        .join(keys.select(F.col("doc_id").alias("b"),
-                          F.col("ck").alias("kb")), "b"))
+        cand.join(ks.select(F.col("doc_id").alias("a"),
+                            F.col("ck").alias("ka"),
+                            F.col("sz").alias("sz_a")), "a")
+        .join(ks.select(F.col("doc_id").alias("b"),
+                        F.col("ck").alias("kb"),
+                        F.col("sz").alias("sz_b")), "b"))
+    # sz_a/sz_b are functions of ka/kb (equal content key ⇒ equal gram
+    # set ⇒ equal size), so min() just picks the shared value
     rep = (kand.groupBy("ka", "kb")
-           .agg(F.min(F.struct("a", "b")).alias("r"))
+           .agg(F.min(F.struct("a", "b")).alias("r"),
+                F.min("sz_a").alias("sz_a"), F.min("sz_b").alias("sz_b"))
            .select(F.col("r.a").alias("a"), F.col("r.b").alias("b"),
-                   "ka", "kb"))
-    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+                   "ka", "kb", "sz_a", "sz_b"))
     ga = g.select(F.col("doc_id").alias("a"), "gh")
     gb = g.select(F.col("doc_id").alias("b"), "gh")
     inter = (rep.select("a", "b").join(ga, "a")
              .join(gb, ["b", "gh"])
              .groupBy("a", "b")
              .agg(F.count(F.lit(1)).alias("inter")))
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
     raw_j = (F.col("inter")
              / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-    res = (inter.join(sa, "a").join(sb, "b")
+    res = (inter.join(rep, ["a", "b"])
            .where(raw_j >= threshold)          # threshold on the raw value
-           .select("a", "b",
+           .select("ka", "kb",
                    (F.floor(raw_j * F.lit(1e6) + F.lit(0.5))
                     / F.lit(1e6)).alias("jaccard")))
     # representative results → every pair sharing the content-key pair
-    res_k = res.join(rep, ["a", "b"]).select("ka", "kb", "jaccard")
-    return (kand.join(res_k, ["ka", "kb"])
+    return (kand.join(res, ["ka", "kb"])
             .select("a", "b", "jaccard"))
 
 
